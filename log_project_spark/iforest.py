@@ -1,0 +1,247 @@
+"""Vectorized NumPy isolation forest + hashed TF-IDF featurizer.
+
+The reference scores with sklearn's TfidfVectorizer + IsolationForest
+(/root/reference/src/stream.py:166-191), one row at a time (~3.5 ms
+per event — its dominant cost, see BASELINE.md). sklearn is not a
+dependency of this engine, so both pieces are reimplemented here from
+their public algorithm definitions:
+
+- Hashed TF-IDF: the hashing trick (crc32 token -> bucket) with
+  smooth idf ln((1+n)/(1+df)) + 1 and L2 row normalization (the
+  TfidfVectorizer formula, over hashed buckets instead of a vocab).
+- Isolation forest: Liu, Ting & Zhou, "Isolation Forest" (ICDM 2008):
+  random sub-sampled binary trees, random feature + uniform split,
+  height limit ceil(log2(psi)); anomaly score 2^(-E[h]/c(psi)),
+  higher = more anomalous (same orientation as the reference's
+  -score_samples).
+
+Everything is batch-vectorized: transform() builds a dense float32
+matrix per Arrow batch; score() walks all trees level-synchronously
+over whole batches (no per-row Python). Models are small, picklable,
+and meant to be fit driver-side then broadcast to executors.
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_EULER = 0.5772156649015329
+
+
+def _avg_path_length(n: np.ndarray | float) -> np.ndarray | float:
+    """c(n): expected path length of unsuccessful BST search (iForest
+    paper eq. 1); c(n<=1) = 0, c(2) = 1."""
+    n_arr = np.asarray(n, dtype=np.float64)
+    out = np.zeros_like(n_arr)
+    big = n_arr > 2
+    out[big] = 2.0 * (np.log(n_arr[big] - 1.0) + _EULER) - 2.0 * (n_arr[big] - 1.0) / n_arr[big]
+    out[n_arr == 2] = 1.0
+    return out if out.shape else float(out)
+
+
+class HashedTfidf:
+    """Hashing-trick TF-IDF over whitespace tokens (texts are already
+    masked/normalized by the parse stage)."""
+
+    def __init__(self, n_features: int = 1024, seed: int = 20250819):
+        self.n_features = int(n_features)
+        self.seed = int(seed)
+        self.idf_: np.ndarray | None = None
+        self._bucket_cache: dict[str, int] = {}
+
+    def _bucket(self, token: str) -> int:
+        b = self._bucket_cache.get(token)
+        if b is None:
+            b = zlib.crc32(f"{token}\x1f{self.seed}".encode()) % self.n_features
+            self._bucket_cache[token] = b
+        return b
+
+    def _counts(self, texts: list[str]) -> np.ndarray:
+        X = np.zeros((len(texts), self.n_features), dtype=np.float32)
+        for r, text in enumerate(texts):
+            for tok in text.split():
+                X[r, self._bucket(tok)] += 1.0
+        return X
+
+    def fit(self, texts: list[str], doc_weights: np.ndarray | None = None) -> "HashedTfidf":
+        X = self._counts(texts)
+        present = (X > 0).astype(np.float64)
+        if doc_weights is not None:
+            w = np.asarray(doc_weights, dtype=np.float64)
+            df = present.T @ w
+            n_docs = float(w.sum())
+        else:
+            df = present.sum(axis=0)
+            n_docs = float(len(texts))
+        self.idf_ = (np.log((1.0 + n_docs) / (1.0 + df)) + 1.0).astype(np.float32)
+        return self
+
+    def transform(self, texts: list[str]) -> np.ndarray:
+        if self.idf_ is None:
+            raise RuntimeError("HashedTfidf must be fit before transform")
+        X = self._counts(texts) * self.idf_[None, :]
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return X / norms
+
+
+@dataclass
+class _Tree:
+    feature: np.ndarray  # int32 per node (-1 for leaf)
+    threshold: np.ndarray  # float32 per node
+    left: np.ndarray  # int32 child index
+    right: np.ndarray
+    depth: np.ndarray  # int32
+    leaf_adjust: np.ndarray  # float32: c(node_size) at leaves, 0 inner
+
+
+@dataclass
+class IsolationForest:
+    """Batch-scoring isolation forest. fit() on a (possibly weighted)
+    sample matrix; score() returns anomaly scores in (0, 1)."""
+
+    n_estimators: int = 200
+    max_samples: int = 256
+    seed: int = 20250819
+    trees: list[_Tree] = field(default_factory=list)
+    _c_psi: float = 1.0
+
+    def fit(self, X: np.ndarray, sample_weight: np.ndarray | None = None) -> "IsolationForest":
+        rng = np.random.default_rng(self.seed)
+        n, d = X.shape
+        p = None
+        population = n
+        if sample_weight is not None:
+            w = np.asarray(sample_weight, dtype=np.float64)
+            p = w / w.sum()
+            # X rows are weighted representatives (e.g. distinct texts
+            # with corpus counts): the effective population — and hence
+            # the subsample size psi — is the weight total, and each
+            # tree draws a weighted sample WITH replacement so frequent
+            # rows dominate exactly as in an unweighted full-corpus fit.
+            population = int(w.sum())
+        psi = min(self.max_samples, max(population, 2))
+        self._c_psi = max(float(np.asarray(_avg_path_length(float(psi)))), 1e-12)
+        height_limit = int(math.ceil(math.log2(max(psi, 2))))
+        self.trees = []
+        for _ in range(self.n_estimators):
+            if p is not None:
+                idx = rng.choice(n, size=psi, replace=True, p=p)
+            else:
+                idx = rng.choice(n, size=psi, replace=psi > n)
+            self.trees.append(self._build_tree(X[idx], rng, height_limit))
+        return self
+
+    def _build_tree(self, S: np.ndarray, rng: np.random.Generator, height_limit: int) -> _Tree:
+        feature: list[int] = []
+        threshold: list[float] = []
+        left: list[int] = []
+        right: list[int] = []
+        depth: list[int] = []
+        leaf_adjust: list[float] = []
+        # stack of (row_indices, depth); build preorder with explicit ids
+        stack: list[tuple[np.ndarray, int, int]] = []  # (rows, depth, node_id)
+
+        def new_node(dep: int) -> int:
+            feature.append(-1)
+            threshold.append(0.0)
+            left.append(-1)
+            right.append(-1)
+            depth.append(dep)
+            leaf_adjust.append(0.0)
+            return len(feature) - 1
+
+        root_rows = np.arange(len(S))
+        root = new_node(0)
+        stack.append((root_rows, 0, root))
+        d = S.shape[1]
+        while stack:
+            rows, dep, node = stack.pop()
+            size = len(rows)
+            if size <= 1 or dep >= height_limit:
+                leaf_adjust[node] = float(np.asarray(_avg_path_length(float(size))))
+                continue
+            # try a few random features to find one with spread
+            q = -1
+            lo = hi = 0.0
+            for _ in range(8):
+                cand = int(rng.integers(0, d))
+                col = S[rows, cand]
+                lo, hi = float(col.min()), float(col.max())
+                if hi > lo:
+                    q = cand
+                    break
+            if q < 0:
+                leaf_adjust[node] = float(np.asarray(_avg_path_length(float(size))))
+                continue
+            split = float(rng.uniform(lo, hi))
+            mask = S[rows, q] < split
+            feature[node] = q
+            threshold[node] = split
+            lnode = new_node(dep + 1)
+            rnode = new_node(dep + 1)
+            left[node] = lnode
+            right[node] = rnode
+            stack.append((rows[mask], dep + 1, lnode))
+            stack.append((rows[~mask], dep + 1, rnode))
+        return _Tree(
+            feature=np.asarray(feature, dtype=np.int32),
+            threshold=np.asarray(threshold, dtype=np.float32),
+            left=np.asarray(left, dtype=np.int32),
+            right=np.asarray(right, dtype=np.int32),
+            depth=np.asarray(depth, dtype=np.int32),
+            leaf_adjust=np.asarray(leaf_adjust, dtype=np.float32),
+        )
+
+    def _path_lengths(self, X: np.ndarray, tree: _Tree) -> np.ndarray:
+        n = len(X)
+        node = np.zeros(n, dtype=np.int32)
+        active = tree.feature[node] >= 0
+        while active.any():
+            cur = node[active]
+            feat = tree.feature[cur]
+            go_left = X[active, feat] < tree.threshold[cur]
+            nxt = np.where(go_left, tree.left[cur], tree.right[cur])
+            node[active] = nxt
+            active = tree.feature[node] >= 0
+        return tree.depth[node].astype(np.float64) + tree.leaf_adjust[node]
+
+    def score(self, X: np.ndarray) -> np.ndarray:
+        """Anomaly score 2^(-E[h]/c(psi)), higher = more anomalous."""
+        if not self.trees:
+            raise RuntimeError("IsolationForest must be fit before score")
+        acc = np.zeros(len(X), dtype=np.float64)
+        for tree in self.trees:
+            acc += self._path_lengths(X, tree)
+        mean_depth = acc / len(self.trees)
+        return np.power(2.0, -mean_depth / self._c_psi)
+
+
+@dataclass
+class TextAnomalyModel:
+    """Featurizer + forest bundle, fit driver-side and broadcast."""
+
+    featurizer: HashedTfidf
+    forest: IsolationForest
+
+    def score_texts(self, texts: list[str]) -> np.ndarray:
+        return self.forest.score(self.featurizer.transform(texts))
+
+
+def fit_text_anomaly_model(
+    texts: list[str],
+    weights: np.ndarray | None = None,
+    n_features: int = 1024,
+    n_estimators: int = 200,
+    max_samples: int = 256,
+    seed: int = 20250819,
+) -> TextAnomalyModel:
+    feat = HashedTfidf(n_features=n_features, seed=seed).fit(texts, doc_weights=weights)
+    X = feat.transform(texts)
+    forest = IsolationForest(n_estimators=n_estimators, max_samples=max_samples, seed=seed)
+    forest.fit(X, sample_weight=weights)
+    return TextAnomalyModel(featurizer=feat, forest=forest)

@@ -1,0 +1,166 @@
+"""Grouped stateful calibration + drift kernel (SURVEY.md C1-C10).
+
+The reference runs ONE sequential stream with a sliding conformal
+calibrator, a fixed-threshold ablation, and an ADWIN drift detector
+that resets the calibrator (/root/reference/src/stream.py:335-374,
+src/calibration.py:13-53). Spark has no built-in operator for
+"rolling exact quantile with reset-on-drift", so this is an
+`applyInPandas` grouped-map kernel: state is sharded by `conv_id`
+(the north-rule contract) or kept global (scope="global", test/parity
+mode — a single group degenerates to the reference's semantics
+exactly), rows ordered by `turn_idx` inside each group.
+
+Semantics preserved bit-for-bit (see oracle.py for the per-event
+statement):
+- C1/C2 conformal: the row's own score enters the window BEFORE the
+  threshold read; threshold k = max(1, int(round_half_even((1-a)*n)))
+  over the sorted window (src/calibration.py:46-53) — NOT Spark's
+  interpolating percentile.
+- C5 warmup: is_anom = (1-based event count within scope >= warmup)
+  AND score > thr (strict >) (src/stream.py:363).
+- C6 no-calib: threshold frozen ONCE from the first `warmup` scores
+  with the *different* index formula int((1-a)*(n-1))
+  (src/stream.py:351-359).
+- C7/C3 drift: detector update AFTER the anomaly decision; on drift
+  the conformal buffer clears starting with the NEXT row
+  (src/stream.py:365-368).
+
+Scale notes: groups are conversations — bounded by turns-per-conv,
+not by table size, so a 10^12-row table shards into ~10^8 modest
+groups. The kernel is O(n * window) worst case per group via a
+bisect-maintained sorted buffer (C-speed memmove); the Arrow exchange
+is columnar. Hot conv_ids do not break this operator (state is
+inherently sequential per conversation); skew salting applies to the
+downstream per-sink aggregates (operators/aggregate.py).
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..adwin import make_detector
+from ..config import PipelineConfig
+
+GLOBAL_KEY = "__scope__"
+
+
+def _fixed_threshold(warm: np.ndarray, alpha: float) -> float:
+    """C6 freeze formula: k = int((1-alpha)*(n-1)) (stream.py:354-357)."""
+    ordered = np.sort(warm)
+    k = int((1.0 - alpha) * (len(ordered) - 1))
+    return float(ordered[min(max(k, 0), len(ordered) - 1)])
+
+
+def _run_group(
+    scores: np.ndarray,
+    alpha: float,
+    window: int,
+    warmup: int,
+    no_calib: bool,
+    drift_kind: str,
+    adwin_delta: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sequential per-group kernel; returns (thr, is_anom, is_drift)."""
+    n = len(scores)
+    thr = np.full(n, np.inf)
+    anom = np.zeros(n, dtype=bool)
+    drift = np.zeros(n, dtype=bool)
+    detector = make_detector(drift_kind, adwin_delta) if drift_kind != "none" else None
+
+    if no_calib:
+        # Two-phase: freeze once warm count reaches `warmup` (1-based).
+        freeze_at = max(warmup, 1) - 1  # row index at which thr freezes
+        if n > freeze_at:
+            frozen = _fixed_threshold(scores[: freeze_at + 1], alpha)
+            thr[freeze_at:] = frozen
+            anom[freeze_at:] = scores[freeze_at:] > frozen
+        if detector is not None:
+            for i in range(n):
+                if detector.update(float(scores[i])):
+                    drift[i] = True
+        return thr, anom, drift
+
+    buf: list[float] = []  # sorted conformal window since last reset
+    seg_start = 0  # first row index of the current calibration segment
+    for i in range(n):
+        s = float(scores[i])
+        bisect.insort(buf, s)
+        if len(buf) > window:
+            # evict the arrival-order-oldest value in the segment
+            oldest = float(scores[i - window])
+            del buf[bisect.bisect_left(buf, oldest)]
+        m = len(buf)
+        k = max(1, int(round((1.0 - alpha) * m)))  # half-even, like Python round
+        t = buf[k - 1]
+        thr[i] = t
+        anom[i] = (i + 1 >= warmup) and s > t
+        if detector is not None and detector.update(s):
+            drift[i] = True
+            buf.clear()
+            seg_start = i + 1  # noqa: F841  (documents segment semantics)
+    return thr, anom, drift
+
+
+def _extended_schema(df: DataFrame) -> T.StructType:
+    fields = list(df.schema.fields)
+    fields += [
+        T.StructField("score", T.DoubleType()),
+        T.StructField("thr", T.DoubleType()),
+        T.StructField("is_anom", T.BooleanType()),
+        T.StructField("is_drift", T.BooleanType()),
+    ]
+    # input may already carry `score`; dedupe keeping last definition
+    seen: dict[str, T.StructField] = {}
+    for f in fields:
+        seen[f.name] = f
+    return T.StructType(list(seen.values()))
+
+
+def calibrate(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    score_col: str = "score",
+    order_cols: Iterable[str] = ("turn_idx",),
+) -> DataFrame:
+    """Attach (score, thr, is_anom, is_drift) to every row via the
+    grouped stateful kernel. All input columns pass through, so no
+    re-join is needed afterwards."""
+    order_cols = list(order_cols)
+    no_calib = cfg.calibration == "no_calib"
+    alpha, window, warmup = cfg.alpha, cfg.window, cfg.warmup
+    drift_kind, delta = cfg.drift_detector, cfg.adwin_delta
+    scope_keys = cfg.scope_keys()
+
+    work = df
+    if score_col != "score":
+        work = work.withColumn("score", F.col(score_col).cast("double"))
+    else:
+        work = work.withColumn("score", F.col("score").cast("double"))
+    group_keys = scope_keys
+    if not group_keys:
+        work = work.withColumn(GLOBAL_KEY, F.lit(0))
+        group_keys = [GLOBAL_KEY]
+
+    out_schema = _extended_schema(work)
+    out_cols = [f.name for f in out_schema.fields]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        scores = pdf["score"].to_numpy(dtype=np.float64)
+        thr, anom, drift = _run_group(
+            scores, alpha, window, warmup, no_calib, drift_kind, delta
+        )
+        pdf = pdf.assign(thr=thr, is_anom=anom, is_drift=drift)
+        return pdf[out_cols]
+
+    result = work.groupBy(*group_keys).applyInPandas(kernel, schema=out_schema)
+    if GLOBAL_KEY in result.columns:
+        result = result.drop(GLOBAL_KEY)
+    return result

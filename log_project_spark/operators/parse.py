@@ -1,0 +1,108 @@
+"""Parse stage: normalize -> mask -> tokenize (SURVEY.md P1-P6).
+
+Reference semantics (/root/reference/src/log_tokenize.py:7-17):
+    line.rstrip("\\n").strip().lower()
+    0x[0-9A-Fa-f]+  -> <hex>     (FIRST)
+    \\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b -> <ip>  (SECOND)
+    \\d+             -> <num>     (LAST)
+then whitespace split, dropping empty tokens; lines with zero tokens
+are dropped (/root/reference/src/log_tokenize.py:26-29).
+
+Mask order is a correctness invariant: hex before num so `0xDEAD`
+never half-matches, ip before num so `10.0.0.5` stays one `<ip>`
+token instead of `<num>.<num>.<num>.<num>`.
+
+Two implementations with identical output:
+- `with_tokens` — native Catalyst expressions (regexp_replace/split/
+  filter): whole-stage codegen, no Python in the hot path. DEFAULT.
+- `with_tokens_pandas` — Arrow-vectorized pandas UDF doing the same
+  chain with pandas .str ops, kept for the "grok/regex parse via
+  Arrow UDFs" contract surface and as a perf comparison point.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+HEX_PATTERN = r"0x[0-9A-Fa-f]+"
+IP_PATTERN = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+NUM_PATTERN = r"\d+"
+
+
+def normalized_col(text: Column) -> Column:
+    """Lowercase + strip + mask chain as one Catalyst expression tree.
+
+    Python's str.strip() trims all whitespace (not just spaces), so we
+    use anchored regexp_replace rather than trim().
+    """
+    c = F.lower(F.regexp_replace(text, r"^\s+|\s+$", ""))
+    c = F.regexp_replace(c, HEX_PATTERN, "<hex>")
+    c = F.regexp_replace(c, IP_PATTERN, "<ip>")
+    c = F.regexp_replace(c, NUM_PATTERN, "<num>")
+    return c
+
+
+def tokens_col(text: Column) -> Column:
+    """Masked token array (empty tokens removed, like str.split())."""
+    return F.filter(F.split(normalized_col(text), r"\s+"), lambda x: x != "")
+
+
+def with_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "tokens",
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Add masked-token array column; optionally drop token-less rows
+    (the reference skips them: src/log_tokenize.py:28-29)."""
+    out = df.withColumn(out_col, tokens_col(F.col(text_col)))
+    if drop_empty:
+        out = out.where(F.size(F.col(out_col)) > 0)
+    return out
+
+
+def with_normalized_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Masked, space-rejoined scoring text (reference joins token
+    sequences back with " ": src/stream.py:135). concat_ws over the
+    token array collapses whitespace runs exactly like
+    " ".join(line.split())."""
+    return df.withColumn(out_col, F.concat_ws(" ", tokens_col(F.col(text_col))))
+
+
+# ---------------------------------------------------------------------------
+# Arrow/pandas-UDF variant (same output, Python vectorized path)
+# ---------------------------------------------------------------------------
+
+def _normalize_series(s: pd.Series) -> pd.Series:
+    out = s.fillna("").str.strip().str.lower()
+    out = out.str.replace(HEX_PATTERN, "<hex>", regex=True)
+    out = out.str.replace(IP_PATTERN, "<ip>", regex=True)
+    out = out.str.replace(NUM_PATTERN, "<num>", regex=True)
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def normalize_text_pandas(s: pd.Series) -> pd.Series:
+    return _normalize_series(s)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_pandas(s: pd.Series) -> pd.Series:
+    return _normalize_series(s).str.split()
+
+
+def with_tokens_pandas(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "tokens",
+    drop_empty: bool = True,
+) -> DataFrame:
+    out = df.withColumn(out_col, tokenize_pandas(F.col(text_col)))
+    if drop_empty:
+        out = out.where(F.size(F.col(out_col)) > 0)
+    return out

@@ -1,0 +1,207 @@
+"""Anomaly scorers (SURVEY.md P7, M1-M7).
+
+Three scorers, same orientation (higher = more anomalous), selectable
+like the reference's mode dispatch (/root/reference/src/stream.py:299-311):
+
+- len: float(len(text)) — the reference's fallback/"transformer
+  placeholder" scorer (src/stream.py:161-163). Pure Catalyst.
+- baseline: TF-IDF + isolation forest (src/stream.py:166-191),
+  reimplemented in NumPy (iforest.py), fit driver-side on a
+  deterministic weighted sample of DISTINCT normalized texts, broadcast
+  to executors, scored in an Arrow iterator pandas UDF that dedupes
+  each batch before the matrix work (log corpora are template-heavy:
+  scoring cost ~ O(unique texts), not O(rows)).
+- transformer: hash-embedding decayed-context cosine scorer
+  (src/transformer.py:65-137), as a grouped applyInPandas kernel per
+  conv_id ordered by turn_idx (the reference keeps ONE context deque;
+  a single group reproduces that exactly).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import PipelineConfig
+from ..iforest import TextAnomalyModel, fit_text_anomaly_model
+
+
+def with_len_score(df: DataFrame, text_col: str = "norm_text", out_col: str = "score") -> DataFrame:
+    """P7 length scorer: float(len(text)) (src/stream.py:161-163)."""
+    return df.withColumn(out_col, F.length(F.col(text_col)).cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# baseline scorer: hashed TF-IDF + isolation forest
+# ---------------------------------------------------------------------------
+
+def fit_baseline_model(
+    df: DataFrame, cfg: PipelineConfig, text_col: str = "norm_text"
+) -> TextAnomalyModel:
+    """Driver-side fit on the distinct-text frequency profile.
+
+    The reference fits on the whole corpus offline before streaming
+    (src/stream.py:178-187). At 100 TB that is a second full pass; we
+    instead aggregate DISTINCT normalized texts with their counts (a
+    single distributed groupBy, tiny result for template-shaped logs),
+    cap at cfg.fit_sample_rows most frequent (deterministic tie-break
+    on text), and fit the weighted model driver-side."""
+    profile = (
+        df.groupBy(text_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col(text_col))
+        .limit(cfg.fit_sample_rows)
+        .toPandas()
+    )
+    texts = profile[text_col].astype(str).tolist()
+    weights = profile["n"].to_numpy(dtype=np.float64)
+    return fit_text_anomaly_model(
+        texts,
+        weights=weights,
+        n_features=cfg.hash_features,
+        n_estimators=cfg.iso_n_estimators,
+        max_samples=cfg.iso_max_samples,
+        seed=cfg.seed,
+    )
+
+
+def with_iforest_score(
+    df: DataFrame,
+    model: TextAnomalyModel,
+    text_col: str = "norm_text",
+    out_col: str = "score",
+) -> DataFrame:
+    """Score every row with the broadcast model via an iterator pandas
+    UDF (one model deserialize per task, Arrow batches, per-batch
+    dedupe of identical texts)."""
+    spark = SparkSession.getActiveSession()
+    assert spark is not None
+    bc = spark.sparkContext.broadcast(model)
+
+    @F.pandas_udf(T.DoubleType())
+    def score_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        mdl: TextAnomalyModel = bc.value
+        for s in batches:
+            texts = s.fillna("").astype(str)
+            uniq, inverse = np.unique(texts.to_numpy(), return_inverse=True)
+            scores = mdl.score_texts(list(uniq))
+            yield pd.Series(scores[inverse], index=s.index)
+
+    return df.withColumn(out_col, score_udf(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# transformer scorer: hash-embedding decayed context (M4-M6)
+# ---------------------------------------------------------------------------
+
+def _token_embedding(token: str, seed: int, dim: int, cache: dict) -> np.ndarray:
+    vec = cache.get(token)
+    if vec is None:
+        digest = hashlib.sha256(f"{token}::{seed}".encode()).digest()
+        rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
+        raw = rng.standard_normal(dim, dtype=np.float32)
+        norm = float(np.linalg.norm(raw))
+        vec = (raw / norm).astype(np.float32) if norm > 0 and math.isfinite(norm) else np.zeros(dim, np.float32)
+        cache[token] = vec
+    return vec
+
+
+def _hash_embed_group(
+    token_rows: list[list[str]],
+    seed: int,
+    dim: int,
+    window: int,
+    decay: float,
+) -> np.ndarray:
+    """Vectorized-within-row port of TransformerScorer.score_and_update
+    (src/transformer.py:65-119): context = decay-weighted unit mean of
+    the last `window` token embeddings from PRIOR rows; score = mean
+    of 1 - clamp(ctx . e) over the row's tokens, clamped to [0, 1];
+    context updates AFTER scoring."""
+    cache: dict[str, np.ndarray] = {}
+    ctx_buf = np.zeros((window, dim), dtype=np.float32)
+    ctx_len = 0  # number of valid rows in the ring (<= window)
+    ctx_pos = 0  # next write slot
+    out = np.zeros(len(token_rows), dtype=np.float64)
+    for r, toks in enumerate(token_rows):
+        if toks is None:
+            toks = []
+        if len(toks) and ctx_len:
+            # assemble buffer in arrival order (oldest first)
+            if ctx_len < window:
+                ordered = ctx_buf[:ctx_len]
+            else:
+                ordered = np.vstack((ctx_buf[ctx_pos:], ctx_buf[:ctx_pos]))
+            n = ctx_len
+            # decay powers computed in float64 then cast, matching the
+            # reference's [decay ** (n-i)] list -> float32 array
+            # (transformer.py:111)
+            w = np.power(decay, np.arange(n, 0, -1, dtype=np.float64)).astype(np.float32)
+            total = float(w.sum())
+            if total > 0 and math.isfinite(total):
+                w = w / np.float32(total)
+            else:
+                w = np.full(n, 1.0 / n, dtype=np.float32)
+            ctx = (w[:, None] * ordered).sum(axis=0)
+            nrm = float(np.linalg.norm(ctx))
+            ctx = (ctx / nrm).astype(np.float32) if nrm > 0 and math.isfinite(nrm) else np.zeros(dim, np.float32)
+            E = np.stack([_token_embedding(t, seed, dim, cache) for t in toks])
+            # per-token float32 dot, then clamp/subtract in float64 like
+            # the reference's float(np.dot(...)) (transformer.py:89-94)
+            sims = np.clip((E @ ctx).astype(np.float64), -1.0, 1.0)
+            val = float(np.mean(1.0 - sims))
+            if not math.isfinite(val):
+                val = 0.0
+            out[r] = min(1.0, max(0.0, val))
+        # update context ring with this row's tokens
+        for t in toks:
+            ctx_buf[ctx_pos] = _token_embedding(t, seed, dim, cache)
+            ctx_pos = (ctx_pos + 1) % window
+            if ctx_len < window:
+                ctx_len += 1
+    return out
+
+
+def with_hash_embed_score(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    tokens_col: str = "tokens",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    out_col: str = "score",
+) -> DataFrame:
+    """Grouped stateful scorer: one decayed-context stream per
+    conv_id (scope='global' collapses to the reference's single
+    stream). Weight arithmetic kept in float32 to match
+    src/transformer.py:111-119 bit-for-bit."""
+    seed, dim = cfg.seed, cfg.embed_dim
+    window, decay = cfg.embed_window, cfg.embed_decay
+    order = list(order_cols)
+    scope_keys = cfg.scope_keys()
+
+    work = df
+    group_keys = scope_keys
+    if not group_keys:
+        work = work.withColumn("__scope__", F.lit(0))
+        group_keys = ["__scope__"]
+
+    fields = [f for f in work.schema.fields if f.name != out_col]
+    out_schema = T.StructType(fields + [T.StructField(out_col, T.DoubleType())])
+    out_cols = [f.name for f in out_schema.fields]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        rows = [list(x) if x is not None else [] for x in pdf[tokens_col]]
+        pdf = pdf.assign(**{out_col: _hash_embed_group(rows, seed, dim, window, decay)})
+        return pdf[out_cols]
+
+    result = work.groupBy(*group_keys).applyInPandas(kernel, schema=out_schema)
+    if "__scope__" in result.columns:
+        result = result.drop("__scope__")
+    return result

@@ -1,0 +1,121 @@
+"""Aggregates: exact percentile formulas, TPR@FPR, salted group-bys,
+keep-last dedup, categorical sort (SURVEY.md A1-A8, O2, O8)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_project_spark import oracle
+from log_project_spark.operators import aggregate as agg
+
+
+@pytest.fixture(scope="module")
+def samples():
+    rng = random.Random(99)
+    return [rng.uniform(0, 100) for _ in range(1234)]
+
+
+def test_exact_percentile_col_matches_oracle(spark, samples):
+    df = spark.createDataFrame([(s,) for s in samples], "v double")
+    row = df.agg(
+        agg.exact_percentile_col(F.col("v"), 95.0).alias("p95"),
+        agg.exact_percentile_col(F.col("v"), 99.0).alias("p99"),
+        agg.exact_percentile_col(F.col("v"), 0.0).alias("p0"),
+        agg.exact_percentile_col(F.col("v"), 100.0).alias("p100"),
+    ).first()
+    assert row["p95"] == oracle.exact_percentile(samples, 95)
+    assert row["p99"] == oracle.exact_percentile(samples, 99)
+    assert row["p0"] == min(samples)
+    assert row["p100"] == max(samples)
+
+
+def test_exact_percentile_distributed_matches_oracle(spark, samples):
+    df = spark.createDataFrame([(s,) for s in samples], "v double").repartition(8)
+    got = agg.exact_percentile_distributed(df, "v", [50.0, 95.0, 99.0])
+    for p in (50.0, 95.0, 99.0):
+        assert got[p] == oracle.exact_percentile(samples, p)
+
+
+def test_percentile_differs_from_interpolating(spark, samples):
+    """Guard: Spark's built-in percentile interpolates and would NOT
+    match the reference formula on this data."""
+    df = spark.createDataFrame([(s,) for s in samples], "v double")
+    builtin = df.agg(F.expr("percentile(v, 0.95)").alias("p")).first()["p"]
+    exact = oracle.exact_percentile(samples, 95)
+    assert builtin != exact
+
+
+def test_tpr_at_fpr_matches_oracle(spark):
+    rng = random.Random(5)
+    scores = [rng.gauss(0, 1) for _ in range(900)] + [rng.gauss(3, 1) for _ in range(100)]
+    labels = [0] * 900 + [1] * 100
+    df = spark.createDataFrame(
+        list(zip(scores, labels)), "score double, label int"
+    ).repartition(4)
+    want_tpr, want_thr = oracle.tpr_at_fpr(scores, labels, 0.01)
+    got_tpr, got_thr = agg.tpr_at_fpr(df, "score", "label", 0.01)
+    assert got_thr == pytest.approx(want_thr)
+    assert got_tpr == pytest.approx(want_tpr)
+    row = agg.tpr_at_fpr_df(df, "score", "label", 0.01).first()
+    assert row["thr"] == pytest.approx(want_thr)
+    assert row["tpr"] == pytest.approx(want_tpr)
+
+
+def test_salted_counts_equal_plain(spark):
+    rows = [("hot" if i % 10 else f"k{i}", i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    plain = {r["conv_id"]: r["n"] for r in df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r["conv_id"]: r["n"] for r in agg.salted_counts(df, ["conv_id"], "turn_idx", 16).collect()}
+    assert salted == plain
+
+
+def test_salted_agg_equal_plain(spark):
+    rows = [("hot" if i % 3 else f"k{i}", i, float(i % 7)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, v double")
+    plain = {
+        r["conv_id"]: (r["n"], r["s"])
+        for r in df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")).collect()
+    }
+    got = {
+        r["conv_id"]: (r["n"], r["sum_v"])
+        for r in agg.salted_agg(df, ["conv_id"], ["v"], "turn_idx", 8).collect()
+    }
+    assert set(got) == set(plain)
+    for k in plain:
+        assert got[k][0] == plain[k][0]
+        assert got[k][1] == pytest.approx(plain[k][1])
+
+
+def test_keep_last(spark):
+    rows = [("a", 1, "x"), ("a", 3, "z"), ("a", 2, "y"), ("b", 1, "only")]
+    df = spark.createDataFrame(rows, "k string, ord int, v string")
+    got = {r["k"]: r["v"] for r in agg.keep_last(df, ["k"], "ord").collect()}
+    assert got == {"a": "z", "b": "only"}
+
+
+def test_categorical_rank_sort(spark):
+    """O2 canonical report sort: listed categories first in order,
+    unknowns after (make_readme_table.py:92-101)."""
+    rows = [("mini",), ("zeta",), ("synth",), ("alpha",)]
+    df = spark.createDataFrame(rows, "dataset string")
+    out = df.orderBy(
+        agg.categorical_rank(F.col("dataset"), ["synth", "mini"]), F.col("dataset")
+    ).collect()
+    assert [r["dataset"] for r in out] == ["synth", "mini", "alpha", "zeta"]
+
+
+def test_summary_row_schema(spark):
+    row = agg.summary_row(
+        spark,
+        dataset="synth", mode="baseline", calibration="conformal",
+        seed=20250819, events=2000, anomalies=3, drifts=0, tpr_str="1.0000",
+        p95_ms=1.0, p99_ms=2.0, eps=1000.0, cpu_pct="NA",
+        calib_target_fpr="0.01", calib_window="5000", warmup=200,
+        adwin_delta=0.002, iso_n_estimators="200", iso_max_samples="256",
+        iso_random_state="20250819", notes="test",
+    )
+    assert row.columns == agg.SUMMARY_COLUMNS
+    assert len(row.columns) == 24
+    r = row.first()
+    assert float(r["p95_ms"]) <= float(r["p99_ms"]) + 1e-9
