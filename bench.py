@@ -1,0 +1,192 @@
+#!/usr/bin/env python3
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": <sec>, "unit": "sec", "queries": {...},
+   "sf": ..., "pipeline": {...}, "scaling": {...}}
+
+Two parts:
+
+1. Headline operator queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+   (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+2. The north-rule scaling benchmark: the full transcripts pipeline
+   (parse -> enrich -> score -> calibrate -> route counts) over a
+   deterministic synthetic transcripts table, run at local[N] and
+   local[4N] on IDENTICAL parquet input, reporting turns/sec at both
+   plus scaling efficiency eff = throughput_4N / (4 * throughput_N)
+   and per-sink aggregate-count equality across the two runs.
+   (Sandbox stand-in for N vs 4N executors; see BENCH/BASELINE.md.)
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+BENCH_PIPELINE_ROWS (default 1_000_000), BENCH_SKIP_SCALING=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "parse_norm_documents",
+    "parse_mask_events",
+    "flagship_route",
+    "enrich_broadcast",
+    "conformal_per_user",
+    "fixed_thr_per_user",
+    "exact_percentiles",
+    "tpch_q1",
+    "minhash_signatures",
+    "ann_cosine_topk",
+    "quality_score",
+    "iforest_scores",
+    "salted_counts",
+]
+
+
+def _fresh_session(cpus: int, shuffle: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        # make sure a new master takes effect
+        SparkSession.builder._options = {}
+    from log_project_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench_local_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=shuffle,
+    )
+
+
+def run_headline(sf_dir: str, cpus: int) -> dict:
+    import __spark_entry__ as entry_mod
+
+    spark = _fresh_session(cpus, max(cpus, 16))
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"[bench] {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    return timings
+
+
+def _pipeline_input(spark, rows: int, path: str):
+    from log_project_spark import synth
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t = synth.transcripts(
+            spark, rows, n_convs=max(rows // 50, 1), anom_ratio=0.03,
+            seed=20250819, hot_frac=0.10, n_hot_convs=4,
+        )
+        t.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def run_pipeline_once(spark, input_path: str, rows: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from log_project_spark.config import PipelineConfig
+    from log_project_spark.operators import route as route_ops
+    from log_project_spark.pipeline import (
+        parse_stage, score_stage,
+    )
+    from log_project_spark.operators.calibrate import calibrate
+    from log_project_spark.operators import enrich as enrich_ops
+    from log_project_spark import synth
+
+    df = spark.read.parquet(input_path)
+    cfg = PipelineConfig(mode="baseline", scope="conv_id", window=5000, warmup=200)
+    t0 = time.perf_counter()
+    parsed = parse_stage(df)
+    enriched = enrich_ops.enrich_roles_tools(
+        parsed, synth.role_dim(spark), synth.tool_dim(spark)
+    )
+    scored = calibrate(score_stage(enriched, cfg), cfg)
+    routed = route_ops.with_sink(scored)
+    counts = {
+        r["sink"]: r["n"]
+        for r in routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    wall = time.perf_counter() - t0
+    total = sum(counts.values())
+    return {
+        "wall_sec": round(wall, 3),
+        "rows": total,
+        "turns_per_sec": round(total / wall, 1),
+        "sink_counts": counts,
+    }
+
+
+def run_scaling(rows: int, big_cpus: int) -> dict:
+    small_cpus = max(big_cpus // 4, 1)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+    input_path = os.path.join(cache_dir, f"bench_transcripts_{rows}")
+
+    spark = _fresh_session(big_cpus, big_cpus)
+    _pipeline_input(spark, rows, input_path)
+    # warm: materialize input + JIT before timed runs
+    spark.read.parquet(input_path).count()
+    big = run_pipeline_once(spark, input_path, rows)
+    print(f"[bench] pipeline local[{big_cpus}]: {big}", file=sys.stderr)
+
+    spark = _fresh_session(small_cpus, small_cpus * 2)
+    small = run_pipeline_once(spark, input_path, rows)
+    print(f"[bench] pipeline local[{small_cpus}]: {small}", file=sys.stderr)
+
+    eff = big["turns_per_sec"] / (4.0 * small["turns_per_sec"])
+    return {
+        "rows": rows,
+        "n_small": small_cpus,
+        "n_big": big_cpus,
+        "turns_per_sec_small": small["turns_per_sec"],
+        "turns_per_sec_big": big["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sink_counts_equal": small["sink_counts"] == big["sink_counts"],
+        "sink_counts": big["sink_counts"],
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rows = int(os.environ.get("BENCH_PIPELINE_ROWS", "1000000"))
+
+    timings = run_headline(sf_dir, cpus)
+
+    scaling: dict = {}
+    pipeline: dict = {}
+    if os.environ.get("BENCH_SKIP_SCALING", "") != "1":
+        scaling = run_scaling(rows, cpus)
+        pipeline = {
+            "rows": scaling["rows"],
+            "turns_per_sec": scaling["turns_per_sec_big"],
+        }
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "pipeline": pipeline,
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

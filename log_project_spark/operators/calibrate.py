@@ -128,15 +128,17 @@ def calibrate(
     cfg: PipelineConfig,
     score_col: str = "score",
     order_cols: Iterable[str] = ("turn_idx",),
+    group_keys: Iterable[str] | None = None,
 ) -> DataFrame:
     """Attach (score, thr, is_anom, is_drift) to every row via the
     grouped stateful kernel. All input columns pass through, so no
-    re-join is needed afterwards."""
+    re-join is needed afterwards. `group_keys` overrides the cfg scope
+    (e.g. per-user streams on a non-transcript table)."""
     order_cols = list(order_cols)
     no_calib = cfg.calibration == "no_calib"
     alpha, window, warmup = cfg.alpha, cfg.window, cfg.warmup
     drift_kind, delta = cfg.drift_detector, cfg.adwin_delta
-    scope_keys = cfg.scope_keys()
+    scope_keys = list(group_keys) if group_keys is not None else cfg.scope_keys()
 
     work = df
     if score_col != "score":
