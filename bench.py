@@ -14,7 +14,10 @@ Two parts:
    local[4N] on IDENTICAL parquet input, reporting turns/sec at both
    plus scaling efficiency eff = throughput_4N / (4 * throughput_N)
    and per-sink aggregate-count equality across the two runs.
-   (Sandbox stand-in for N vs 4N executors; see BENCH/BASELINE.md.)
+   Each parallelism level runs in a FRESH subprocess (own JVM) with a
+   warm-up pass before the timed pass, so JIT state cannot leak
+   between the levels. (Sandbox stand-in for N vs 4N executors; see
+   BENCH/BASELINE.md.)
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 BENCH_PIPELINE_ROWS (default 1_000_000), BENCH_SKIP_SCALING=1.
@@ -24,10 +27,12 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 HEADLINE = [
     "parse_norm_documents",
@@ -46,27 +51,13 @@ HEADLINE = [
 ]
 
 
-def _fresh_session(cpus: int, shuffle: int):
-    from pyspark.sql import SparkSession
-
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        active.stop()
-        # make sure a new master takes effect
-        SparkSession.builder._options = {}
-    from log_project_spark.session import get_spark
-
-    return get_spark(
-        app_name=f"bench_local_{cpus}",
-        master=f"local[{cpus}]",
-        shuffle_partitions=shuffle,
-    )
-
-
 def run_headline(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entry_mod
+    from log_project_spark.session import get_spark
 
-    spark = _fresh_session(cpus, max(cpus, 16))
+    spark = get_spark(
+        app_name="bench_headline", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
+    )
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -76,72 +67,82 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"[bench] {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    spark.stop()
     return timings
 
 
-def _pipeline_input(spark, rows: int, path: str):
-    from log_project_spark import synth
-
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        t = synth.transcripts(
-            spark, rows, n_convs=max(rows // 50, 1), anom_ratio=0.03,
-            seed=20250819, hot_frac=0.10, n_hot_convs=4,
-        )
-        t.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
-
-
-def run_pipeline_once(spark, input_path: str, rows: int) -> dict:
+def pipeline_child(cpus: int, rows: int, input_path: str) -> None:
+    """Child-process mode: warm-up pass + timed pass at one
+    parallelism level; prints one JSON line."""
     from pyspark.sql import functions as F
 
-    from log_project_spark.config import PipelineConfig
-    from log_project_spark.operators import route as route_ops
-    from log_project_spark.pipeline import (
-        parse_stage, score_stage,
-    )
-    from log_project_spark.operators.calibrate import calibrate
-    from log_project_spark.operators import enrich as enrich_ops
     from log_project_spark import synth
+    from log_project_spark.config import PipelineConfig
+    from log_project_spark.operators import enrich as enrich_ops
+    from log_project_spark.operators import route as route_ops
+    from log_project_spark.operators.calibrate import calibrate
+    from log_project_spark.pipeline import parse_stage, score_stage
+    from log_project_spark.session import get_spark
 
-    df = spark.read.parquet(input_path)
-    cfg = PipelineConfig(mode="baseline", scope="conv_id", window=5000, warmup=200)
-    t0 = time.perf_counter()
-    parsed = parse_stage(df)
-    enriched = enrich_ops.enrich_roles_tools(
-        parsed, synth.role_dim(spark), synth.tool_dim(spark)
+    spark = get_spark(
+        app_name=f"bench_pipeline_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
-    scored = calibrate(score_stage(enriched, cfg), cfg)
-    routed = route_ops.with_sink(scored)
-    counts = {
-        r["sink"]: r["n"]
-        for r in routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    wall = time.perf_counter() - t0
-    total = sum(counts.values())
-    return {
-        "wall_sec": round(wall, 3),
-        "rows": total,
-        "turns_per_sec": round(total / wall, 1),
-        "sink_counts": counts,
-    }
+
+    if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+        synth.transcripts(
+            spark, rows, n_convs=max(rows // 50, 1), anom_ratio=0.03,
+            seed=20250819, hot_frac=0.10, n_hot_convs=4,
+        ).write.mode("overwrite").parquet(input_path)
+
+    def one_pass() -> dict:
+        df = spark.read.parquet(input_path)
+        cfg = PipelineConfig(mode="baseline", scope="conv_id", window=5000, warmup=200)
+        t0 = time.perf_counter()
+        parsed = parse_stage(df)
+        enriched = enrich_ops.enrich_roles_tools(
+            parsed, synth.role_dim(spark), synth.tool_dim(spark)
+        )
+        scored = calibrate(
+            score_stage(enriched, cfg).drop("tokens", "norm_text"), cfg, num_partitions=cpus
+        )
+        routed = route_ops.with_sink(scored)
+        counts = {
+            r["sink"]: r["n"]
+            for r in routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        wall = time.perf_counter() - t0
+        total = sum(counts.values())
+        return {
+            "cpus": cpus,
+            "wall_sec": round(wall, 3),
+            "rows": total,
+            "turns_per_sec": round(total / wall, 1),
+            "sink_counts": counts,
+        }
+
+    one_pass()  # warm-up (JIT, codegen, python daemons)
+    print(json.dumps(one_pass()))
 
 
 def run_scaling(rows: int, big_cpus: int) -> dict:
     small_cpus = max(big_cpus // 4, 1)
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
-    input_path = os.path.join(cache_dir, f"bench_transcripts_{rows}")
+    input_path = os.path.join(REPO, ".cache", f"bench_transcripts_{rows}")
 
-    spark = _fresh_session(big_cpus, big_cpus)
-    _pipeline_input(spark, rows, input_path)
-    # warm: materialize input + JIT before timed runs
-    spark.read.parquet(input_path).count()
-    big = run_pipeline_once(spark, input_path, rows)
-    print(f"[bench] pipeline local[{big_cpus}]: {big}", file=sys.stderr)
+    results = {}
+    for cpus in (big_cpus, small_cpus):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pipeline",
+             str(cpus), str(rows), input_path],
+            capture_output=True, text=True, cwd=REPO, timeout=3600,
+        )
+        if proc.returncode != 0:
+            print(proc.stderr[-4000:], file=sys.stderr)
+            raise RuntimeError(f"pipeline child local[{cpus}] failed")
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+        print(f"[bench] pipeline local[{cpus}]: {results[cpus]}", file=sys.stderr)
 
-    spark = _fresh_session(small_cpus, small_cpus * 2)
-    small = run_pipeline_once(spark, input_path, rows)
-    print(f"[bench] pipeline local[{small_cpus}]: {small}", file=sys.stderr)
-
+    small, big = results[small_cpus], results[big_cpus]
     eff = big["turns_per_sec"] / (4.0 * small["turns_per_sec"])
     return {
         "rows": rows,
@@ -156,6 +157,10 @@ def run_scaling(rows: int, big_cpus: int) -> dict:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--pipeline":
+        pipeline_child(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     rows = int(os.environ.get("BENCH_PIPELINE_ROWS", "1000000"))

@@ -133,10 +133,17 @@ class IsolationForest:
                 idx = rng.choice(n, size=psi, replace=True, p=p)
             else:
                 idx = rng.choice(n, size=psi, replace=psi > n)
-            self.trees.append(self._build_tree(X[idx], rng, height_limit))
+            # collapse duplicate sample rows to (unique row, multiplicity):
+            # duplicates always traverse together, so the tree is
+            # identical but build cost is O(nodes * uniques), which is
+            # what makes template-heavy (low-cardinality) corpora cheap
+            uids, counts = np.unique(idx, return_counts=True)
+            self.trees.append(self._build_tree(X[uids], counts, rng, height_limit))
         return self
 
-    def _build_tree(self, S: np.ndarray, rng: np.random.Generator, height_limit: int) -> _Tree:
+    def _build_tree(
+        self, S: np.ndarray, weights: np.ndarray, rng: np.random.Generator, height_limit: int
+    ) -> _Tree:
         feature: list[int] = []
         threshold: list[float] = []
         left: list[int] = []
@@ -161,9 +168,9 @@ class IsolationForest:
         d = S.shape[1]
         while stack:
             rows, dep, node = stack.pop()
-            size = len(rows)
-            if size <= 1 or dep >= height_limit:
-                leaf_adjust[node] = float(np.asarray(_avg_path_length(float(size))))
+            size = float(weights[rows].sum())
+            if len(rows) <= 1 or dep >= height_limit:
+                leaf_adjust[node] = float(np.asarray(_avg_path_length(size)))
                 continue
             # try a few random features to find one with spread
             q = -1
@@ -176,7 +183,7 @@ class IsolationForest:
                     q = cand
                     break
             if q < 0:
-                leaf_adjust[node] = float(np.asarray(_avg_path_length(float(size))))
+                leaf_adjust[node] = float(np.asarray(_avg_path_length(size)))
                 continue
             split = float(rng.uniform(lo, hi))
             mask = S[rows, q] < split

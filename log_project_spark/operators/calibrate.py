@@ -129,22 +129,29 @@ def calibrate(
     score_col: str = "score",
     order_cols: Iterable[str] = ("turn_idx",),
     group_keys: Iterable[str] | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Attach (score, thr, is_anom, is_drift) to every row via the
     grouped stateful kernel. All input columns pass through, so no
     re-join is needed afterwards. `group_keys` overrides the cfg scope
-    (e.g. per-user streams on a non-transcript table)."""
+    (e.g. per-user streams on a non-transcript table).
+
+    Physical plan: repartition(group_keys) + sortWithinPartitions +
+    streaming mapInPandas. This is deliberately NOT
+    groupBy().applyInPandas(): conversations are tiny (tens of rows),
+    and applyInPandas pays per-GROUP pandas overhead (sort, frame
+    assembly) that dwarfs the kernel at millions of groups. The
+    streaming kernel walks each sorted partition once, detects group
+    boundaries on the raw arrays, and pays per-BATCH overhead instead
+    — one shuffle either way, same semantics (verified against the
+    per-event oracle in tests)."""
     order_cols = list(order_cols)
     no_calib = cfg.calibration == "no_calib"
     alpha, window, warmup = cfg.alpha, cfg.window, cfg.warmup
     drift_kind, delta = cfg.drift_detector, cfg.adwin_delta
     scope_keys = list(group_keys) if group_keys is not None else cfg.scope_keys()
 
-    work = df
-    if score_col != "score":
-        work = work.withColumn("score", F.col(score_col).cast("double"))
-    else:
-        work = work.withColumn("score", F.col("score").cast("double"))
+    work = df.withColumn("score", F.col(score_col).cast("double"))
     group_keys = scope_keys
     if not group_keys:
         work = work.withColumn(GLOBAL_KEY, F.lit(0))
@@ -153,16 +160,65 @@ def calibrate(
     out_schema = _extended_schema(work)
     out_cols = [f.name for f in out_schema.fields]
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        scores = pdf["score"].to_numpy(dtype=np.float64)
-        thr, anom, drift = _run_group(
-            scores, alpha, window, warmup, no_calib, drift_kind, delta
-        )
-        pdf = pdf.assign(thr=thr, is_anom=anom, is_drift=drift)
-        return pdf[out_cols]
+    if num_partitions is None:
+        num_partitions = int(work.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    arranged = work.repartition(num_partitions, *group_keys).sortWithinPartitions(
+        *group_keys, *order_cols
+    )
 
-    result = work.groupBy(*group_keys).applyInPandas(kernel, schema=out_schema)
+    def run_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        """All rows of >=1 complete groups, already sorted."""
+        scores = pdf["score"].to_numpy(dtype=np.float64)
+        # group boundary mask over the (sorted) key columns
+        if len(group_keys) == 1:
+            keys = pdf[group_keys[0]].to_numpy()
+            change = np.empty(len(keys), dtype=bool)
+            change[0] = True
+            change[1:] = keys[1:] != keys[:-1]
+        else:
+            change = np.zeros(len(pdf), dtype=bool)
+            change[0] = True
+            for k in group_keys:
+                keys = pdf[k].to_numpy()
+                change[1:] |= keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pdf))
+        thr = np.empty(len(pdf))
+        anom = np.empty(len(pdf), dtype=bool)
+        drift = np.empty(len(pdf), dtype=bool)
+        for s, e in zip(starts, ends):
+            t, a, d = _run_group(
+                scores[s:e], alpha, window, warmup, no_calib, drift_kind, delta
+            )
+            thr[s:e], anom[s:e], drift[s:e] = t, a, d
+        return pdf.assign(thr=thr, is_anom=anom, is_drift=drift)[out_cols]
+
+    def stream(batches):
+        carry: pd.DataFrame | None = None
+        for batch in batches:
+            if carry is not None and len(carry):
+                batch = pd.concat([carry, batch], ignore_index=True)
+                carry = None
+            if not len(batch):
+                continue
+            # hold back the (possibly incomplete) final group
+            last_key = tuple(batch[k].iloc[-1] for k in group_keys)
+            mask = np.ones(len(batch), dtype=bool)
+            for k, v in zip(group_keys, last_key):
+                mask &= (batch[k] == v).to_numpy()
+            if mask.all():
+                carry = batch
+                continue
+            # rows of the final group are a contiguous tail (sorted input)
+            tail_start = int(np.flatnonzero(~mask).max() + 1)
+            carry = batch.iloc[tail_start:].reset_index(drop=True)
+            head = batch.iloc[:tail_start]
+            if len(head):
+                yield run_groups(head)
+        if carry is not None and len(carry):
+            yield run_groups(carry)
+
+    result = arranged.mapInPandas(stream, schema=out_schema)
     if GLOBAL_KEY in result.columns:
         result = result.drop(GLOBAL_KEY)
     return result

@@ -24,6 +24,7 @@ web-scale corpora — `min_shingle_df`/`max_shingle_df` knobs below.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -129,9 +130,8 @@ def simhash64(df: DataFrame, tokens_col: str = "tokens", out_col: str = "simhash
     agg = toks.groupBy(*group_cols).agg(*bit_cols)
     sig = F.lit(0).cast("long")
     for i in range(64):
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") << i).otherwise(F.lit(0).cast("long"))
-        )
+        bit = F.lit(np.int64(1 << i) if i < 63 else np.int64(-(1 << 63))).cast("long")
+        sig = sig.bitwiseOR(F.when(F.col(f"b{i}") > 0, bit).otherwise(F.lit(0).cast("long")))
     return agg.select(*group_cols, sig.alias(out_col))
 
 

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+Engine-level additions for training-data pipelines (no reference
+counterpart): brute-force cosine top-k as the exact baseline, and an
+LSH-bucketed (random hyperplane / SRP) variant as the scale path —
+candidate generation by bucket equi-join instead of a full cross
+product. An IVF-style variant with deterministic hash-based coarse
+centroids covers the "route to a small number of partitions" pattern.
+
+All plans are JVM-side Catalyst (zip_with/aggregate fold for dot
+products); a Pandas-UDF matrix path is provided for very wide vectors
+where per-element expression trees get expensive.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_to_query(
+    df: DataFrame, query: list[float], vec_col: str = "embedding", out_col: str = "cos"
+) -> DataFrame:
+    """Cosine similarity of every row to a constant query vector."""
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query))
+    e = _as_double(F.col(vec_col))
+    return df.withColumn(out_col, dot_expr(e, qlit) / (norm_expr(e) * F.lit(qn)))
+
+
+def topk_cosine(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k: one scan, map-side partial top-k via
+    Spark's TakeOrdered (orderBy+limit), no full sort materialized."""
+    return (
+        cosine_to_query(df, query, vec_col)
+        .select(id_col, "cos")
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection bucket id: one bit per hyperplane
+    (deterministic plane list supplied by the caller)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plit = F.array(*[F.lit(float(x)) for x in plane])
+        d = dot_expr(_as_double(vec_col), plit)
+        bucket = bucket.bitwiseOR(F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    return bucket
+
+
+def make_planes(dim: int, n_planes: int = 8, seed: int = 20250819) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return [[float(v) for v in rng.standard_normal(dim)] for _ in range(n_planes)]
+
+
+def topk_cosine_lsh(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 20250819,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose SRP bucket is within
+    `probe_hamming` bits of the query's bucket (multi-probe). At scale
+    the bucket filter prunes the scan to ~(probes/2^p) of the data;
+    with a bucket-partitioned table it becomes partition pruning."""
+    dim = len(query)
+    planes = make_planes(dim, n_planes, seed)
+    qbits = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(plane, query)) >= 0:
+            qbits |= 1 << i
+    probe_buckets = {qbits}
+    if probe_hamming >= 1:
+        for i in range(n_planes):
+            probe_buckets.add(qbits ^ (1 << i))
+    bucketed = df.withColumn("__bucket__", srp_bucket(F.col(vec_col), planes))
+    cand = bucketed.where(F.col("__bucket__").isin(*[int(b) for b in probe_buckets]))
+    return topk_cosine(cand, query, k, id_col, vec_col)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """IVF coarse quantization: nearest centroid by dot product (unit
+    centroids assumed). Centroid list is small -> the argmax unrolls to
+    a greatest() expression tree, fully JVM-side."""
+    e = _as_double(F.col(vec_col))
+    dots = [dot_expr(e, F.array(*[F.lit(float(x)) for x in c])).alias(f"__d{i}__") for i, c in enumerate(centroids)]
+    tmp = df.select("*", *dots)
+    best = F.lit(0)
+    best_val = F.col("__d0__")
+    for i in range(1, len(centroids)):
+        cond = F.col(f"__d{i}__") > best_val
+        best = F.when(cond, F.lit(i)).otherwise(best)
+        best_val = F.when(cond, F.col(f"__d{i}__")).otherwise(best_val)
+    out = tmp.withColumn(out_col, best)
+    return out.drop(*[f"__d{i}__" for i in range(len(centroids))])
+
+
+def pairwise_cosine_pandas(
+    df: DataFrame,
+    query: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cos",
+) -> DataFrame:
+    """Arrow-vectorized matrix path: one BLAS matvec per batch. Use for
+    wide vectors (>256 dims) where the expression-tree fold gets slow."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    @F.pandas_udf(T.DoubleType())
+    def cos_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            M = np.stack(s.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+            dots = M @ q
+            norms = np.linalg.norm(M, axis=1)
+            norms[norms == 0] = 1.0
+            yield pd.Series(dots / (norms * qn), index=s.index)
+
+    return df.withColumn(out_col, cos_udf(F.col(vec_col)))

@@ -1,0 +1,124 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions (whole-stage codegen, no Python), built
+on the same tokenization primitives as the parse stage. These extend
+the reference's capabilities (it has no text analytics beyond masking)
+as first-class engine components for corpus curation at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small built-in stopword profiles for the n-gram-free heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"],
+}
+
+BPE_ISH_PATTERN = r"\w+|[^\w\s]"
+
+
+def word_tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+
+
+def _stop_ratio(tokens: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda x: F.array_contains(arr, x))) / F.size(tokens)
+
+
+def with_lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language stopword-ratio columns lang_score_<lang>."""
+    toks = word_tokens(F.col(text_col))
+    out = df.withColumn("__toks__", toks)
+    for lang, words in STOPWORDS.items():
+        out = out.withColumn(f"lang_score_{lang}", _stop_ratio(F.col("__toks__"), words))
+    return out.drop("__toks__")
+
+
+def with_lang_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred", min_score: float = 0.02
+) -> DataFrame:
+    """Argmax over the language scores; 'und' when no profile clears
+    min_score."""
+    scored = with_lang_scores(df, text_col)
+    langs = list(STOPWORDS)
+    best_lang = F.lit(langs[0])
+    best_score = F.col(f"lang_score_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"lang_score_{lang}") > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, F.col(f"lang_score_{lang}")).otherwise(best_score)
+    out = scored.withColumn(
+        out_col, F.when(best_score >= min_score, best_lang).otherwise(F.lit("und"))
+    )
+    return out.drop(*[f"lang_score_{lang}" for lang in langs])
+
+
+def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Curation features: token count, char count, mean token length,
+    punctuation ratio, stopword ratio, uppercase ratio, digit ratio."""
+    text = F.col(text_col)
+    toks = word_tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,!?;:'\"()\[\]{}]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    safe_tok = F.when(n_tok > 0, n_tok).otherwise(F.lit(1))
+    safe_chars = F.when(n_chars > 0, n_chars).otherwise(F.lit(1))
+    return (
+        df.withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("n_chars_text", n_chars.cast("long"))
+        .withColumn("avg_token_len", F.round(tok_chars / safe_tok, 6))
+        .withColumn("punct_ratio", F.round(n_punct / safe_chars, 6))
+        .withColumn("upper_ratio", F.round(n_upper / safe_chars, 6))
+        .withColumn("digit_ratio", F.round(n_digit / safe_chars, 6))
+        .withColumn("stop_ratio", F.round(n_stop / safe_tok, 6))
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
+    """Scalar quality score in [0,1]: rewards mid-length tokens and
+    some stopword mass, penalizes punctuation/digit noise. A heuristic
+    curation gate, not a model."""
+    feat = with_quality_features(df, text_col)
+    len_term = F.lit(1.0) - F.least(F.abs(F.col("avg_token_len") - 5.0) / 5.0, F.lit(1.0))
+    stop_term = F.least(F.col("stop_ratio") * 4.0, F.lit(1.0))
+    noise_term = F.greatest(
+        F.lit(0.0), F.lit(1.0) - (F.col("punct_ratio") + F.col("digit_ratio")) * 2.0
+    )
+    return feat.withColumn(
+        out_col, F.round((len_term + stop_term + noise_term) / 3.0, 6)
+    )
+
+
+def with_bpe_token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_bpe"
+) -> DataFrame:
+    """BPE-ish token count: word runs + standalone punctuation marks."""
+    return df.withColumn(
+        out_col, F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).cast("long")
+    )
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "fp", bits: int = 64
+) -> DataFrame:
+    """Deterministic document fingerprint: sha256 over the
+    whitespace-normalized lowercased text, truncated to bits/4 hex
+    chars. Collision-safe key for exact-dup detection across shards."""
+    norm = F.concat_ws(" ", word_tokens(F.col(text_col)))
+    return df.withColumn(out_col, F.substring(F.sha2(norm, 256), 1, bits // 4))

@@ -84,6 +84,10 @@ def run_pipeline(
     def build_scored() -> DataFrame:
         src = run.stages[-1].df if run else build_enriched()
         scored = score_stage(src, cfg)
+        # tokens/norm_text are derived intermediates consumed by the
+        # scorer; drop them before the kernel shuffle (they double the
+        # Arrow/shuffle payload and the sinks don't carry them)
+        scored = scored.drop("tokens", "norm_text")
         return calibrate(scored, cfg, score_col="score", order_cols=("turn_idx",))
 
     run = None
@@ -104,7 +108,7 @@ def run_pipeline(
             score_stage(
                 enrich_ops.enrich_roles_tools(parse_stage(transcripts), role_dim, tool_dim),
                 cfg,
-            ),
+            ).drop("tokens", "norm_text"),
             cfg,
             score_col="score",
             order_cols=("turn_idx",),

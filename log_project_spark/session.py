@@ -30,6 +30,10 @@ def get_spark(
     - UTC session timezone: parity with DuckDB oracle comparisons.
     - maxRecordsPerBatch: bounds Arrow batch memory in the scoring UDFs.
     """
+    # one BLAS thread per python worker: with N workers on N cores,
+    # nested OpenBLAS/MKL pools oversubscribe catastrophically
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
@@ -50,6 +54,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     if extra_conf:
         for k, v in extra_conf.items():

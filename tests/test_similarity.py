@@ -1,0 +1,67 @@
+"""Similarity search: brute-force vs NumPy ground truth, LSH recall,
+IVF assignment, pandas matrix path parity."""
+
+import numpy as np
+import pytest
+
+from log_project_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(42)
+    V = rng.standard_normal((200, 16)).astype(np.float32)
+    return V
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, vectors):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vectors)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _true_topk(vectors, q, k):
+    Vd = vectors.astype(np.float64)
+    qd = np.asarray(q, dtype=np.float64)
+    cos = (Vd @ qd) / (np.linalg.norm(Vd, axis=1) * np.linalg.norm(qd))
+    order = np.lexsort((np.arange(len(cos)), -cos))
+    return [int(i) for i in order[:k]], cos
+
+
+def test_brute_force_topk_matches_numpy(spark, emb_df, vectors):
+    q = [float(x) for x in vectors[0]]
+    want_ids, cos = _true_topk(vectors, q, 5)
+    got = sim.topk_cosine(emb_df, q, k=5).collect()
+    assert [r["vec_id"] for r in got] == want_ids
+    for r in got:
+        assert r["cos"] == pytest.approx(cos[r["vec_id"]], abs=1e-9)
+
+
+def test_lsh_topk_recall(spark, emb_df, vectors):
+    q = [float(x) for x in vectors[7]]
+    want_ids, _ = _true_topk(vectors, q, 10)
+    got = sim.topk_cosine_lsh(emb_df, q, k=10, n_planes=4, probe_hamming=1).collect()
+    got_ids = {r["vec_id"] for r in got}
+    # multiprobe SRP with 4 planes probes 5/16 of the space; require
+    # meaningful recall of the true top-10 (top-1 is vector 7 itself,
+    # which always lands in the query's own bucket)
+    assert want_ids[0] in got_ids
+    assert len(got_ids & set(want_ids)) >= 4
+
+
+def test_ivf_assignment_is_argmax(spark, emb_df, vectors):
+    rng = np.random.default_rng(1)
+    cents = rng.standard_normal((4, 16))
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    clist = [[float(x) for x in c] for c in cents]
+    got = {r["vec_id"]: r["ivf_cell"] for r in sim.ivf_assign(emb_df, clist).collect()}
+    want = np.argmax(vectors.astype(np.float64) @ cents.T, axis=1)
+    assert got == {i: int(w) for i, w in enumerate(want)}
+
+
+def test_pandas_matrix_path_matches_expression_path(spark, emb_df, vectors):
+    q = [float(x) for x in vectors[3]]
+    expr = {r["vec_id"]: r["cos"] for r in sim.cosine_to_query(emb_df, q).select("vec_id", "cos").collect()}
+    arrow = {r["vec_id"]: r["cos"] for r in sim.pairwise_cosine_pandas(emb_df, q).select("vec_id", "cos").collect()}
+    for i in expr:
+        assert arrow[i] == pytest.approx(expr[i], abs=1e-9)

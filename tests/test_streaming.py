@@ -1,0 +1,85 @@
+"""Structured Streaming pipeline: micro-batch outputs must equal the
+batch kernel's outputs on the same input (streaming/batch parity),
+including state carried across micro-batches."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_project_spark import synth
+from log_project_spark.config import PipelineConfig
+from log_project_spark.operators.calibrate import calibrate
+from log_project_spark.pipeline import parse_stage
+from log_project_spark.operators.scoring import with_len_score
+from log_project_spark.streaming.stream_pipeline import scored_stream
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(spark, tmp_path_factory):
+    """Transcripts split into 4 parquet files, each a contiguous
+    turn_idx range per conv (so file-by-file arrival preserves
+    per-conv turn order, the streaming contract)."""
+    root = tmp_path_factory.mktemp("stream_src")
+    t = synth.transcripts(spark, 1200, n_convs=12, anom_ratio=0.05, seed=7)
+    scored = with_len_score(parse_stage(t), text_col="norm_text")
+    base = scored.select("conv_id", "turn_idx", "score")
+    n_chunks = 4
+    chunk = F.floor(F.col("turn_idx") / 30)  # ~30 turns per conv per chunk
+    for c in range(n_chunks):
+        (
+            base.where(chunk == c)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(root / f"chunk_{c}"))
+        )
+    return root, base
+
+
+def test_streaming_matches_batch_kernel(spark, fixture_dir, tmp_path):
+    root, base = fixture_dir
+    cfg = PipelineConfig(window=50, warmup=10, scope="conv_id", drift_detector="adwin")
+
+    # batch reference result
+    batch = {
+        (r["conv_id"], r["turn_idx"]): (r["thr"], r["is_anom"], r["is_drift"])
+        for r in calibrate(base, cfg).collect()
+    }
+
+    # streaming: feed chunks in order with maxFilesPerTrigger=1
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    import shutil
+
+    for c in range(4):
+        chunk_dir = str(root / f"chunk_{c}")
+        for f_ in sorted(os.listdir(chunk_dir)):
+            if f_.endswith(".parquet"):
+                shutil.copy(os.path.join(chunk_dir, f_), os.path.join(src_dir, f"{c}_{f_}"))
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, score double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = scored_stream(stream, cfg)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["thr"], r["is_anom"], r["is_drift"])
+        for r in spark.sql("SELECT * FROM stream_out").collect()
+    }
+    assert len(got) == len(batch)
+    mismatches = [
+        (k, got[k], batch[k]) for k in batch if got[k] != batch[k]
+    ]
+    assert not mismatches, mismatches[:5]
