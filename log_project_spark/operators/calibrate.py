@@ -130,11 +130,21 @@ def calibrate(
     order_cols: Iterable[str] = ("turn_idx",),
     group_keys: Iterable[str] | None = None,
     num_partitions: int | None = None,
+    batch_score_fn=None,
+    batch_score_input: str | None = None,
+    drop_score_input: bool = True,
 ) -> DataFrame:
     """Attach (score, thr, is_anom, is_drift) to every row via the
     grouped stateful kernel. All input columns pass through, so no
     re-join is needed afterwards. `group_keys` overrides the cfg scope
     (e.g. per-user streams on a non-transcript table).
+
+    Fused scoring: when `batch_score_fn` is given (a
+    list[str] -> np.ndarray batch scorer, e.g. the broadcast iforest
+    model), scores are computed INSIDE the same Python pass from
+    `batch_score_input` (default 'norm_text') — one Arrow round trip
+    for score+calibrate instead of two. Semantics are identical to
+    scoring first (the scorer is per-row/stateless).
 
     Physical plan: repartition(group_keys) + sortWithinPartitions +
     streaming mapInPandas. This is deliberately NOT
@@ -151,13 +161,20 @@ def calibrate(
     drift_kind, delta = cfg.drift_detector, cfg.adwin_delta
     scope_keys = list(group_keys) if group_keys is not None else cfg.scope_keys()
 
-    work = df.withColumn("score", F.col(score_col).cast("double"))
+    if batch_score_fn is not None:
+        input_col = batch_score_input or "norm_text"
+        work = df.withColumn("score", F.lit(None).cast("double"))
+    else:
+        input_col = None
+        work = df.withColumn("score", F.col(score_col).cast("double"))
     group_keys = scope_keys
     if not group_keys:
         work = work.withColumn(GLOBAL_KEY, F.lit(0))
         group_keys = [GLOBAL_KEY]
 
     out_schema = _extended_schema(work)
+    if input_col is not None and drop_score_input:
+        out_schema = T.StructType([f for f in out_schema.fields if f.name != input_col])
     out_cols = [f.name for f in out_schema.fields]
 
     if num_partitions is None:
@@ -196,6 +213,11 @@ def calibrate(
     def stream(batches):
         carry: pd.DataFrame | None = None
         for batch in batches:
+            if input_col is not None and len(batch):
+                # fused scoring: per-batch dedupe then vectorized model
+                texts = batch[input_col].fillna("").astype(str)
+                uniq, inverse = np.unique(texts.to_numpy(), return_inverse=True)
+                batch = batch.assign(score=batch_score_fn(list(uniq))[inverse])
             if carry is not None and len(carry):
                 batch = pd.concat([carry, batch], ignore_index=True)
                 carry = None

@@ -42,8 +42,22 @@ def with_len_score(df: DataFrame, text_col: str = "norm_text", out_col: str = "s
 # baseline scorer: hashed TF-IDF + isolation forest
 # ---------------------------------------------------------------------------
 
+def make_broadcast_scorer(model: TextAnomalyModel):
+    """Picklable list[str] -> np.ndarray batch scorer backed by a
+    broadcast of the model (for the fused calibrate kernel)."""
+    spark = SparkSession.getActiveSession()
+    assert spark is not None
+    bc = spark.sparkContext.broadcast(model)
+
+    def score_batch(texts: list[str]) -> np.ndarray:
+        return bc.value.score_texts(texts)
+
+    return score_batch
+
+
 def fit_baseline_model(
-    df: DataFrame, cfg: PipelineConfig, text_col: str = "norm_text"
+    df: DataFrame, cfg: PipelineConfig, text_col: str = "norm_text",
+    cache_path: str | None = None,
 ) -> TextAnomalyModel:
     """Driver-side fit on the distinct-text frequency profile.
 
@@ -52,7 +66,17 @@ def fit_baseline_model(
     instead aggregate DISTINCT normalized texts with their counts (a
     single distributed groupBy, tiny result for template-shaped logs),
     cap at cfg.fit_sample_rows most frequent (deterministic tie-break
-    on text), and fit the weighted model driver-side."""
+    on text), and fit the weighted model driver-side.
+
+    `cache_path`: persist/reuse the fitted model (offline-fit +
+    broadcast is the deployment pattern at scale; the reference refits
+    per run, src/stream.py:178-187, which a 100 TB job would not)."""
+    import os
+    import pickle
+
+    if cache_path and os.path.exists(cache_path):
+        with open(cache_path, "rb") as f:
+            return pickle.load(f)
     profile = (
         df.groupBy(text_col)
         .agg(F.count(F.lit(1)).alias("n"))

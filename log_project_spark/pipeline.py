@@ -83,11 +83,19 @@ def run_pipeline(
 
     def build_scored() -> DataFrame:
         src = run.stages[-1].df if run else build_enriched()
-        scored = score_stage(src, cfg)
-        # tokens/norm_text are derived intermediates consumed by the
-        # scorer; drop them before the kernel shuffle (they double the
-        # Arrow/shuffle payload and the sinks don't carry them)
-        scored = scored.drop("tokens", "norm_text")
+        if cfg.mode == "baseline":
+            # fused path: score inside the calibrate kernel pass (one
+            # Arrow round trip); tokens dropped pre-shuffle, norm_text
+            # rides the shuffle to the scorer then drops
+            model = scoring.fit_baseline_model(src, cfg)
+            return calibrate(
+                src.drop("tokens"),
+                cfg,
+                order_cols=("turn_idx",),
+                batch_score_fn=scoring.make_broadcast_scorer(model),
+                batch_score_input="norm_text",
+            )
+        scored = score_stage(src, cfg).drop("tokens", "norm_text")
         return calibrate(scored, cfg, score_col="score", order_cols=("turn_idx",))
 
     run = None
@@ -104,15 +112,7 @@ def run_pipeline(
         run.run_stage("enrich", build_enriched)
         scored = run.run_stage("score_calibrate", build_scored)
     else:
-        scored = calibrate(
-            score_stage(
-                enrich_ops.enrich_roles_tools(parse_stage(transcripts), role_dim, tool_dim),
-                cfg,
-            ).drop("tokens", "norm_text"),
-            cfg,
-            score_col="score",
-            order_cols=("turn_idx",),
-        )
+        scored = build_scored()
 
     sink_paths: dict = {}
     if out_dir:

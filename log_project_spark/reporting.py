@@ -1,0 +1,110 @@
+"""Reporting queries over the summary ledger (SURVEY.md §3.3).
+
+Spark restatement of scripts/make_readme_table.py /
+make_multi_plots_v2.py: keep-last per (dataset, mode, calibration),
+canonical 3-level categorical sort, per-column formatting, Markdown
+table rendering, median-collapse variant, calibration filter, and the
+zero-latency drop filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from .operators.aggregate import categorical_rank, keep_last
+
+REPORT_KEYS = ["dataset", "mode", "calibration"]
+DATASET_ORDER = ["synth_tokens", "synth_transcripts", "synth", "mini_tokens", "mini"]
+MODE_ORDER = ["baseline", "transformer"]
+CALIB_ORDER = ["conformal", "no_calib"]
+
+METRIC_COLS = ["TPR_at_1pct_FPR", "p95_ms", "p99_ms", "eps", "CPU_pct"]
+
+
+def _with_file_order(summary: DataFrame) -> DataFrame:
+    if "__order__" in summary.columns:
+        return summary
+    return summary.withColumn("__order__", F.monotonically_increasing_id())
+
+
+def latest_per_config(summary: DataFrame) -> DataFrame:
+    """Keep-last dedup (make_readme_table.py:86-90: OrderedDict
+    overwrite == last occurrence wins)."""
+    return keep_last(_with_file_order(summary), REPORT_KEYS, "__order__").drop("__order__")
+
+
+def median_collapse(summary: DataFrame) -> DataFrame:
+    """make_multi_plots_v2.py:67-71: median of p95/p99/eps per key,
+    last for everything else."""
+    ordered = _with_file_order(summary)
+    others = [c for c in summary.columns if c not in REPORT_KEYS + ["p95_ms", "p99_ms", "eps"]]
+    w = Window.partitionBy(*REPORT_KEYS).orderBy("__order__")
+    lasts = ordered.withColumn("__rn__", F.row_number().over(w.orderBy(F.col("__order__").desc())))
+    lasts = lasts.where(F.col("__rn__") == 1).select(*REPORT_KEYS, *others)
+    meds = ordered.groupBy(*REPORT_KEYS).agg(
+        *[
+            F.round(F.expr(f"percentile(CAST({c} AS DOUBLE), 0.5)"), 6).alias(c)
+            for c in ("p95_ms", "p99_ms", "eps")
+        ]
+    )
+    return lasts.join(meds, REPORT_KEYS)
+
+
+def filter_calibrations(summary: DataFrame, wanted: list[str]) -> DataFrame:
+    """O6 (make_multi_plots_v2.py:76-89)."""
+    return summary.where(F.col("calibration").isin(wanted))
+
+
+def drop_zero_latency(summary: DataFrame) -> DataFrame:
+    """O7 (make_multi_plots_v2.py:92-100)."""
+    return summary.where(
+        (F.col("p95_ms").cast("double") > 0) & (F.col("p99_ms").cast("double") > 0)
+    )
+
+
+def canonical_sort(summary: DataFrame) -> DataFrame:
+    """O2 3-level categorical order, unknowns last lexicographic
+    (make_readme_table.py:29-44,92-101)."""
+    return summary.orderBy(
+        categorical_rank(F.col("dataset"), DATASET_ORDER),
+        F.col("dataset"),
+        categorical_rank(F.col("mode"), MODE_ORDER),
+        F.col("mode"),
+        categorical_rank(F.col("calibration"), CALIB_ORDER),
+        F.col("calibration"),
+    )
+
+
+def format_row_values(summary: DataFrame) -> DataFrame:
+    """Column format policy (make_readme_table.py:47-73): TPR 4
+    decimals or NA; latency/eps/CPU 1 decimal; passthrough otherwise."""
+    def fmt_metric(c: str):
+        d = F.col(c).cast("double")
+        return F.when(d.isNull(), F.coalesce(F.col(c), F.lit("NA"))).otherwise(
+            F.format_number(d, 1)
+        )
+
+    tpr = F.col("TPR_at_1pct_FPR").cast("double")
+    out = summary.withColumn(
+        "TPR_at_1pct_FPR",
+        F.when(tpr.isNull(), F.lit("NA")).otherwise(F.format_number(tpr, 4)),
+    )
+    for c in ("p95_ms", "p99_ms", "eps", "CPU_pct"):
+        out = out.withColumn(c, fmt_metric(c))
+    return out
+
+
+def readme_table(summary: DataFrame, columns: list[str] | None = None) -> str:
+    """Markdown report table, reference column subset by default."""
+    columns = columns or [
+        "dataset", "mode", "calibration", "events", "anomalies", "drifts",
+        "TPR_at_1pct_FPR", "p95_ms", "p99_ms", "eps",
+    ]
+    shaped = canonical_sort(format_row_values(latest_per_config(summary))).select(*columns)
+    rows = shaped.collect()
+    header = "| " + " | ".join(columns) + " |"
+    sep = "|" + "|".join(["---"] * len(columns)) + "|"
+    body = ["| " + " | ".join("" if r[c] is None else str(r[c]) for c in columns) + " |" for r in rows]
+    return "\n".join([header, sep] + body)

@@ -1,0 +1,147 @@
+"""Reference-format sources/sinks round trips + catalog shim +
+reporting queries + the spark-submit job CLI."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_project_spark.sources import catalog as cat
+from log_project_spark.sources import formats
+
+
+def test_tokens_json_round_trip(spark, tmp_path):
+    seqs = [["a", "<num>"], ["b"], ["c", "d", "<hex>"]]
+    src = tmp_path / "tokens.json"
+    src.write_text(json.dumps(seqs), encoding="utf-8")
+    df = formats.read_tokens_json(spark, str(src))
+    assert df.count() == 3
+    row = df.where(F.col("event_idx") == 0).first()
+    assert list(row["tokens"]) == ["a", "<num>"] and row["text"] == "a <num>"
+    out = tmp_path / "out.json"
+    formats.write_tokens_json(df.withColumnRenamed("event_idx", "line_idx"), str(out))
+    raw = out.read_bytes()
+    assert not raw.endswith(b"\n")  # protected-JSON byte policy
+    assert json.loads(raw) == seqs
+
+
+def test_reference_tokens_artifact_loads(spark):
+    df = formats.read_tokens_json(spark, "/root/reference/data/mini_tokens.json")
+    assert df.count() == 5
+    assert "<num>" in df.first()["text"]
+
+
+def test_labels_json_tolerant(spark, tmp_path):
+    good = tmp_path / "labels.json"
+    good.write_text("[0, 1, 0]")
+    df = formats.read_labels_json(spark, str(good))
+    assert [r["label"] for r in df.orderBy("event_idx").collect()] == [0, 1, 0]
+    assert formats.read_labels_json(spark, str(tmp_path / "missing.json")) is None
+
+
+def test_raw_log_source_cap(spark, tmp_path):
+    log = tmp_path / "raw.log"
+    log.write_text("\n".join(f"line {i}" for i in range(10)) + "\n")
+    df = formats.read_raw_log(spark, str(log), max_lines=4)
+    assert df.count() == 4
+    assert df.orderBy("line_idx").first()["text"] == "line 0"
+
+
+def test_summary_csv_append_semantics(spark, tmp_path):
+    from log_project_spark.operators.aggregate import SUMMARY_COLUMNS, summary_row
+
+    out = tmp_path / "summary.csv"
+    row = summary_row(
+        spark, dataset="d", mode="baseline", calibration="conformal", seed=1,
+        events=10, anomalies=0, drifts=0, tpr_str="NA", p95_ms=1.0, p99_ms=2.0,
+        eps=5.0, cpu_pct="NA", calib_target_fpr="0.01", calib_window="5000",
+        warmup=200, adwin_delta=0.002, iso_n_estimators="NA", iso_max_samples="NA",
+        iso_random_state="NA", notes="n",
+    )
+    formats.append_summary_csv(row, str(out))
+    formats.append_summary_csv(row, str(out))
+    lines = out.read_text().splitlines()
+    assert lines[0] == ",".join(SUMMARY_COLUMNS)  # header once
+    assert len(lines) == 3  # header + 2 appended rows
+
+
+def test_scores_csv_schema(spark, tmp_path):
+    rows = [(0, 1.5, 0, True, 1.0), (1, 0.5, 1, False, 2.0)]
+    df = spark.createDataFrame(
+        rows, "event_idx long, score double, label int, is_anom boolean, thr double"
+    )
+    out = tmp_path / "scores.csv"
+    formats.write_scores_csv(df, str(out))
+    lines = out.read_text().splitlines()
+    assert lines[0] == "idx,score,label,flag,thr_stream,lat_ms"
+    assert lines[1].startswith("0,1.5,0,1,1.0")
+
+
+def test_hash_manifest_format(tmp_path):
+    f1 = tmp_path / "a.bin"
+    f1.write_bytes(b"hello")
+    lines = formats.hash_manifest([str(f1)])
+    name, size, digest = lines[0].split("  ")
+    assert name == "a.bin" and size == "5"
+    assert digest == digest.upper() and len(digest) == 64
+
+
+def test_table_catalog_parquet_shim(spark, tmp_path):
+    c = cat.TableCatalog(spark, str(tmp_path / "wh"))
+    assert c.iceberg is None  # no Iceberg jar in this sandbox
+    df = spark.range(10).withColumn("dt", F.lit("2025-08-19"))
+    c.write(df, "t1", partition_by=("dt",))
+    assert c.exists("t1")
+    assert c.read("t1").count() == 10
+    c.write(df, "t1", mode="append", partition_by=("dt",))
+    assert c.read("t1").count() == 20
+    snaps = c.snapshots("t1")
+    assert [s["mode"] for s in snaps] == ["overwrite", "append"]
+
+
+def test_reporting_readme_table(spark):
+    from log_project_spark import reporting
+
+    rows = [
+        ("synth", "baseline", "conformal", "2000", "0", "0", "1.0", "3.5", "3.8", "314.3", "97.1"),
+        ("synth", "baseline", "conformal", "2000", "1", "0", "0.9", "3.6", "3.9", "300.0", "90.0"),
+        ("mini", "baseline", "no_calib", "5", "0", "0", None, "1.0", "2.0", "100.0", None),
+        ("zz_unknown", "baseline", "conformal", "1", "0", "0", "0.5", "1", "2", "3", "4"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "dataset string, mode string, calibration string, events string, "
+        "anomalies string, drifts string, TPR_at_1pct_FPR string, p95_ms string, "
+        "p99_ms string, eps string, CPU_pct string",
+    )
+    table = reporting.readme_table(df)
+    lines = table.splitlines()
+    assert lines[0].startswith("| dataset ")
+    # keep-last: only ONE synth/baseline/conformal row, the later one
+    assert sum("| synth |" in ln for ln in lines) == 1
+    assert "0.9000" in table  # TPR 4-decimal policy, last row wins
+    assert "NA" in table  # mini TPR -> NA
+    body = [ln for ln in lines[2:]]
+    # canonical order: synth first, mini second, unknowns last
+    assert body[0].startswith("| synth ") and body[1].startswith("| mini ")
+    assert body[-1].startswith("| zz_unknown ")
+
+
+def test_job_cli_reference_artifacts(spark, tmp_path):
+    """jobs/run_pipeline.py over the reference's own mini artifacts."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from jobs.run_pipeline import main
+
+    summary = tmp_path / "summary.csv"
+    scores = tmp_path / "scores.csv"
+    main([
+        "--tokens-json", "/root/reference/data/mini_tokens.json",
+        "--mode", "len", "--warmup", "2", "--window", "100",
+        "--summary-out", str(summary), "--scores-out", str(scores),
+    ])
+    lines = summary.read_text().splitlines()
+    assert len(lines) == 2 and lines[0].startswith("date,commit,dataset")
+    assert "mini_tokens" in lines[1]
+    assert len(scores.read_text().splitlines()) == 6  # header + 5 events
