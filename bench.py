@@ -20,7 +20,7 @@ Two parts:
    BENCH/BASELINE.md.)
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-BENCH_PIPELINE_ROWS (default 6_000_000), BENCH_SCALE_N (default 2),
+BENCH_PIPELINE_ROWS (default 12_000_000), BENCH_SCALE_N (default 2),
 BENCH_SKIP_SCALING=1.
 """
 
@@ -90,9 +90,16 @@ def pipeline_child(cpus: int, rows: int, input_path: str) -> None:
     )
 
     if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+        # clustered layout: hash-distributed by conv_id, sorted by
+        # (conv_id, turn_idx) within files — the write-distribution a
+        # maintained Iceberg table would have. Files stay well under
+        # maxPartitionBytes so read splits never bisect a file.
+        n_files = max(64, rows // 300_000)
         synth.transcripts(
             spark, rows, n_convs=max(rows // 50, 1), anom_ratio=0.03,
             seed=20250819, hot_frac=0.10, n_hot_convs=4,
+        ).repartition(n_files, "conv_id").sortWithinPartitions(
+            "conv_id", "turn_idx"
         ).write.mode("overwrite").parquet(input_path)
 
     from log_project_spark.operators import scoring
@@ -114,6 +121,7 @@ def pipeline_child(cpus: int, rows: int, input_path: str) -> None:
             num_partitions=cpus,
             batch_score_fn=scoring.make_broadcast_scorer(model),
             batch_score_input="norm_text",
+            layout="clustered",  # input written conv_id-clustered above
         )
         routed = route_ops.with_sink(scored)
         counts = {
@@ -131,7 +139,8 @@ def pipeline_child(cpus: int, rows: int, input_path: str) -> None:
         }
 
     one_pass()  # warm-up (JIT, codegen, python daemons, model cache)
-    # the host is shared: take the best of 2 timed passes
+    # the host is shared (2x wall variance observed on identical
+    # passes): take the best of 2 timed passes and report all walls
     passes = [one_pass() for _ in range(2)]
     best = min(passes, key=lambda p: p["wall_sec"])
     best["all_walls"] = [p["wall_sec"] for p in passes]
@@ -173,6 +182,8 @@ def run_scaling(rows: int, big_cpus: int) -> dict:
         "scaling_efficiency": round(eff, 3),
         "sink_counts_equal": small["sink_counts"] == big["sink_counts"],
         "sink_counts": big["sink_counts"],
+        "walls_small": small.get("all_walls"),
+        "walls_big": big.get("all_walls"),
     }
 
 
@@ -183,7 +194,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    rows = int(os.environ.get("BENCH_PIPELINE_ROWS", "6000000"))
+    rows = int(os.environ.get("BENCH_PIPELINE_ROWS", "12000000"))
 
     timings = run_headline(sf_dir, cpus)
 

@@ -133,6 +133,7 @@ def calibrate(
     batch_score_fn=None,
     batch_score_input: str | None = None,
     drop_score_input: bool = True,
+    layout: str = "shuffle",
 ) -> DataFrame:
     """Attach (score, thr, is_anom, is_drift) to every row via the
     grouped stateful kernel. All input columns pass through, so no
@@ -146,8 +147,19 @@ def calibrate(
     for score+calibrate instead of two. Semantics are identical to
     scoring first (the scorer is per-row/stateless).
 
-    Physical plan: repartition(group_keys) + sortWithinPartitions +
-    streaming mapInPandas. This is deliberately NOT
+    layout="clustered" declares that the input is ALREADY group-
+    contiguous and turn-ordered (each group's rows contiguous within
+    one input split, sorted by order_cols) — the layout a write-
+    distributed/sorted Iceberg table gives you — and skips the
+    repartition+sort entirely: the whole pipeline then runs shuffle-
+    free. The streaming kernel only needs contiguity (boundary
+    detection is key-change-based), so packing multiple hash-disjoint
+    sorted files into one read split stays correct. The caller owns
+    the layout guarantee; keep input files under
+    spark.sql.files.maxPartitionBytes so splits never bisect a file.
+
+    Physical plan (layout="shuffle", default): repartition(group_keys)
+    + sortWithinPartitions + streaming mapInPandas. Deliberately NOT
     groupBy().applyInPandas(): conversations are tiny (tens of rows),
     and applyInPandas pays per-GROUP pandas overhead (sort, frame
     assembly) that dwarfs the kernel at millions of groups. The
@@ -177,11 +189,14 @@ def calibrate(
         out_schema = T.StructType([f for f in out_schema.fields if f.name != input_col])
     out_cols = [f.name for f in out_schema.fields]
 
-    if num_partitions is None:
-        num_partitions = int(work.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    arranged = work.repartition(num_partitions, *group_keys).sortWithinPartitions(
-        *group_keys, *order_cols
-    )
+    if layout == "clustered":
+        arranged = work
+    else:
+        if num_partitions is None:
+            num_partitions = int(work.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        arranged = work.repartition(num_partitions, *group_keys).sortWithinPartitions(
+            *group_keys, *order_cols
+        )
 
     def run_groups(pdf: pd.DataFrame) -> pd.DataFrame:
         """All rows of >=1 complete groups, already sorted."""

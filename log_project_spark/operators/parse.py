@@ -46,8 +46,18 @@ def normalized_col(text: Column) -> Column:
 
 
 def tokens_col(text: Column) -> Column:
-    """Masked token array (empty tokens removed, like str.split())."""
-    return F.filter(F.split(normalized_col(text), r"\s+"), lambda x: x != "")
+    """Masked token array (no empty tokens, like str.split()).
+
+    After the exact strip, Java's split cannot emit empty tokens
+    (leading whitespace is gone, runs are merged by `+`, trailing
+    empties are dropped by split's limit=0), except on the empty
+    string, which yields [""] -> mapped to []. This avoids a
+    higher-order filter() lambda, which Catalyst interprets per
+    element (no codegen) and which dominated the parse stage cost."""
+    norm = normalized_col(text)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, r"\s+")
+    )
 
 
 def with_tokens(
@@ -64,14 +74,18 @@ def with_tokens(
     return out
 
 
+def norm_text_col(text: Column) -> Column:
+    """Masked, space-rejoined scoring text (reference joins token
+    sequences back with " ": src/stream.py:135). After the exact
+    strip, collapsing whitespace runs to single spaces equals
+    " ".join(line.split()) — one regex pass, no array materialized."""
+    return F.regexp_replace(normalized_col(text), r"\s+", " ")
+
+
 def with_normalized_text(
     df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
 ) -> DataFrame:
-    """Masked, space-rejoined scoring text (reference joins token
-    sequences back with " ": src/stream.py:135). concat_ws over the
-    token array collapses whitespace runs exactly like
-    " ".join(line.split())."""
-    return df.withColumn(out_col, F.concat_ws(" ", tokens_col(F.col(text_col))))
+    return df.withColumn(out_col, norm_text_col(F.col(text_col)))
 
 
 # ---------------------------------------------------------------------------

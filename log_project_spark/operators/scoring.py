@@ -86,7 +86,14 @@ def fit_baseline_model(
     )
     texts = profile[text_col].astype(str).tolist()
     weights = profile["n"].to_numpy(dtype=np.float64)
-    return fit_text_anomaly_model(
+    model = _fit_and_maybe_cache(texts, weights, cfg, cache_path)
+    return model
+
+
+def _fit_and_maybe_cache(texts, weights, cfg, cache_path):
+    import pickle
+
+    model = fit_text_anomaly_model(
         texts,
         weights=weights,
         n_features=cfg.hash_features,
@@ -94,6 +101,10 @@ def fit_baseline_model(
         max_samples=cfg.iso_max_samples,
         seed=cfg.seed,
     )
+    if cache_path:
+        with open(cache_path, "wb") as f:
+            pickle.dump(model, f)
+    return model
 
 
 def with_iforest_score(

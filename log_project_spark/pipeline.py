@@ -29,9 +29,14 @@ from . import synth
 
 
 def parse_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Tokens + normalized scoring text (SURVEY.md P1-P6)."""
-    out = parse_ops.with_tokens(df, text_col=text_col, drop_empty=True)
-    return out.withColumn("norm_text", F.concat_ws(" ", F.col("tokens")))
+    """Tokens + normalized scoring text (SURVEY.md P1-P6). The
+    empty-line drop predicates on norm_text (equivalent to
+    size(tokens) > 0) so a plan that prunes `tokens` — e.g. the fused
+    baseline path — never pays for the array at all."""
+    out = df.withColumn("tokens", parse_ops.tokens_col(F.col(text_col))).withColumn(
+        "norm_text", parse_ops.norm_text_col(F.col(text_col))
+    )
+    return out.where(F.col("norm_text") != "")
 
 
 def score_stage(df: DataFrame, cfg: PipelineConfig) -> DataFrame:

@@ -145,3 +145,32 @@ def test_calibration_coverage(spark):
     flags = [r["is_anom"] for r in got[200:]]
     rate = float(np.mean(flags))
     assert 0.0 < rate < 0.10  # around alpha=0.05 with slack
+
+
+def test_clustered_layout_matches_shuffle_path(spark, tmp_path):
+    """layout='clustered' over a conv_id-clustered, turn-sorted table
+    must produce exactly the shuffle path's outputs."""
+    from log_project_spark import synth
+
+    t = synth.transcripts(spark, 3000, n_convs=60, anom_ratio=0.05, seed=3)
+    path = str(tmp_path / "clustered")
+    (
+        t.withColumn("score", F.length("text").cast("double"))
+        .repartition(8, "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.parquet(path)
+    )
+    clustered = spark.read.parquet(path)
+    cfg = PipelineConfig(scope="conv_id", window=100, warmup=10, drift_detector="adwin")
+    a = {
+        (r["conv_id"], r["turn_idx"]): (r["thr"], r["is_anom"], r["is_drift"])
+        for r in calibrate(clustered, cfg, layout="clustered").collect()
+    }
+    b = {
+        (r["conv_id"], r["turn_idx"]): (r["thr"], r["is_anom"], r["is_drift"])
+        for r in calibrate(clustered, cfg).collect()
+    }
+    assert a == b
+    # and the clustered plan is exchange-free
+    plan = calibrate(clustered, cfg, layout="clustered")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
