@@ -134,6 +134,7 @@ def calibrate(
     batch_score_input: str | None = None,
     drop_score_input: bool = True,
     layout: str = "shuffle",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Attach (score, thr, is_anom, is_drift) to every row via the
     grouped stateful kernel. All input columns pass through, so no
@@ -158,8 +159,16 @@ def calibrate(
     the layout guarantee; keep input files under
     spark.sql.files.maxPartitionBytes so splits never bisect a file.
 
+    engine="arrow" (default) streams pyarrow RecordBatches
+    (mapInArrow): passthrough columns — including every string column —
+    are zero-copy slices that never materialize as Python objects; the
+    kernel touches only the score float array and the group-key change
+    mask, and fused scoring dedupes via Arrow dictionary_encode (C++).
+    engine="pandas" keeps the mapInPandas implementation (used by the
+    parity tests as a second witness).
+
     Physical plan (layout="shuffle", default): repartition(group_keys)
-    + sortWithinPartitions + streaming mapInPandas. Deliberately NOT
+    + sortWithinPartitions + a streaming map. Deliberately NOT
     groupBy().applyInPandas(): conversations are tiny (tens of rows),
     and applyInPandas pays per-GROUP pandas overhead (sort, frame
     assembly) that dwarfs the kernel at millions of groups. The
@@ -255,7 +264,83 @@ def calibrate(
         if carry is not None and len(carry):
             yield run_groups(carry)
 
-    result = arranged.mapInPandas(stream, schema=out_schema)
+    def stream_arrow(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def concat(b1, scores1, b2, scores2):
+            # combine_chunks merges each column to one chunk -> one batch
+            merged = pa.Table.from_batches([b1, b2]).combine_chunks().to_batches()
+            assert len(merged) == 1
+            return merged[0], np.concatenate([scores1, scores2])
+
+        def change_mask(batch) -> np.ndarray:
+            n = batch.num_rows
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for k in group_keys:
+                arr = batch.column(batch.schema.get_field_index(k))
+                neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
+                change[1:] |= neq.to_numpy(zero_copy_only=False)
+            return change
+
+        def emit(head, head_scores, change) -> "pa.RecordBatch":
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], head.num_rows)
+            thr = np.empty(head.num_rows)
+            anom = np.empty(head.num_rows, dtype=bool)
+            drift = np.empty(head.num_rows, dtype=bool)
+            for s, e in zip(starts, ends):
+                t, a, d = _run_group(
+                    head_scores[s:e], alpha, window, warmup, no_calib, drift_kind, delta
+                )
+                thr[s:e], anom[s:e], drift[s:e] = t, a, d
+            arrays = []
+            for f in out_schema.fields:
+                if f.name == "score":
+                    arrays.append(pa.array(head_scores, type=pa.float64()))
+                elif f.name == "thr":
+                    arrays.append(pa.array(thr, type=pa.float64()))
+                elif f.name == "is_anom":
+                    arrays.append(pa.array(anom, type=pa.bool_()))
+                elif f.name == "is_drift":
+                    arrays.append(pa.array(drift, type=pa.bool_()))
+                else:
+                    arrays.append(head.column(head.schema.get_field_index(f.name)))
+            return pa.RecordBatch.from_arrays(arrays, names=out_cols)
+
+        carry = None  # (RecordBatch, np scores)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if input_col is not None:
+                enc = pc.dictionary_encode(
+                    batch.column(batch.schema.get_field_index(input_col))
+                )
+                uniq = ["" if u is None else u for u in enc.dictionary.to_pylist()]
+                idx = enc.indices.to_numpy(zero_copy_only=False)
+                scores = np.asarray(batch_score_fn(uniq), dtype=np.float64)[idx]
+            else:
+                scores = batch.column(
+                    batch.schema.get_field_index("score")
+                ).to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            if carry is not None:
+                batch, scores = concat(carry[0], carry[1], batch, scores)
+            change = change_mask(batch)
+            starts = np.flatnonzero(change)
+            if len(starts) == 1:
+                carry = (batch, scores)  # single (possibly continuing) group
+                continue
+            tail = int(starts[-1])
+            carry = (batch.slice(tail), scores[tail:])
+            yield emit(batch.slice(0, tail), scores[:tail], change[:tail])
+        if carry is not None and carry[0].num_rows:
+            yield emit(carry[0], carry[1], change_mask(carry[0]))
+
+    if engine == "arrow":
+        result = arranged.mapInArrow(stream_arrow, schema=out_schema)
+    else:
+        result = arranged.mapInPandas(stream, schema=out_schema)
     if GLOBAL_KEY in result.columns:
         result = result.drop(GLOBAL_KEY)
     return result

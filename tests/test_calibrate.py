@@ -174,3 +174,23 @@ def test_clustered_layout_matches_shuffle_path(spark, tmp_path):
     # and the clustered plan is exchange-free
     plan = calibrate(clustered, cfg, layout="clustered")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_arrow_engine_matches_pandas_engine(spark):
+    """Both kernel I/O engines produce identical outputs (the pandas
+    path is the second witness for the zero-copy Arrow path)."""
+    from log_project_spark import synth
+
+    t = synth.transcripts(spark, 2000, n_convs=40, anom_ratio=0.05, seed=9).withColumn(
+        "score", F.length("text").cast("double")
+    )
+    cfg = PipelineConfig(scope="conv_id", window=80, warmup=10, drift_detector="adwin")
+    a = {
+        (r["conv_id"], r["turn_idx"]): (r["thr"], r["is_anom"], r["is_drift"])
+        for r in calibrate(t, cfg, engine="arrow").collect()
+    }
+    b = {
+        (r["conv_id"], r["turn_idx"]): (r["thr"], r["is_anom"], r["is_drift"])
+        for r in calibrate(t, cfg, engine="pandas").collect()
+    }
+    assert a == b

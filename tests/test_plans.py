@@ -46,16 +46,18 @@ def test_parse_stage_stays_jvm_side(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(parse_ops.with_tokens(docs))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    assert plan.lstrip().startswith("Project") or "WholeStageCodegen" in plan
+    # codegen'd operators print with a "*(stage)" prefix
+    assert plan.lstrip().startswith("*(") or "WholeStageCodegen" in plan
 
 
 def test_salted_agg_is_two_phase(spark):
     t = synth.transcripts(spark, 1000, n_convs=10)
     out = agg.salted_counts(t, ["conv_id"], "turn_idx", 8)
     opt = _optimized(out)
-    # two Aggregate nodes: (keys+salt) partial then keys final
+    # two Aggregate nodes: (keys+salt) partial then keys final; the
+    # optimizer inlines the __salt__ alias into a grouping expression
     assert opt.count("Aggregate") >= 2
-    assert "__salt__" in opt
+    assert "pmod(xxhash64" in opt
 
 
 def test_kernel_single_shuffle(spark):
@@ -71,7 +73,9 @@ def test_kernel_single_shuffle(spark):
     plan = _plan(calibrate(t, cfg))
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
-    assert "Sort [conv_id" in plan and "global=false" in plan
+    # SortExec prints "Sort [keys...], global, sortOrder" — the
+    # `], false, 0` tail is the non-global (within-partition) form
+    assert "Sort [conv_id" in plan and "], false, 0" in plan
 
 
 def test_scored_route_counts_reuse_one_scan(spark):
