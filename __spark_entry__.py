@@ -704,3 +704,144 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+
+
+# ---------------------------------------------------------------------------
+# round-1 additions: similarity partitioning + dedup + integrated kernels
+# ---------------------------------------------------------------------------
+
+def _det_vectors(n: int, dim: int, seed: int) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n, dim))
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    return [[float(x) for x in v] for v in V]
+
+
+_IVF_CENTROIDS = _det_vectors(4, 64, 101)
+_SRP_PLANES = _det_vectors(4, 64, 202)
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_project_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_assign(emb, _IVF_CENTROIDS).select(
+        "vec_id", F.col("ivf_cell").cast("int").alias("ivf_cell")
+    )
+
+
+def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_project_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", sim.srp_bucket(F.col("embedding"), _SRP_PLANES).alias("bucket")
+    )
+
+
+def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_project_spark.operators import dedup
+
+    toked = _doc_word_tokens(spark, sf_dir).withColumnRenamed("toks", "tokens")
+    return dedup.simhash64(toked.select("doc_id", "tokens")).select("doc_id", "simhash")
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_project_spark.operators import dedup
+
+    toked = _doc_word_tokens(spark, sf_dir).withColumnRenamed("toks", "tokens")
+    sig = dedup.simhash64(toked.select("doc_id", "tokens"))
+    return dedup.hamming_near_pairs(sig, max_hamming=8)
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_project_spark.operators import dedup
+
+    toked = _doc_word_tokens(spark, sf_dir).withColumnRenamed("toks", "tokens")
+    sh = dedup.with_shingles(toked, tokens_col="tokens", n=3)
+    sig = dedup.minhash_signature(sh, num_hashes=4)
+    return dedup.lsh_candidate_pairs(sig, num_hashes=4, band_size=2)
+
+
+def q_transformer_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrated transformer-mode kernel (M4-M6 + C1-C7 + C10) over
+    the documents table as one global stream."""
+    from log_project_spark.operators import scoring as scoring_ops
+
+    toked = _doc_word_tokens(spark, sf_dir).withColumnRenamed("toks", "tokens")
+    base = toked.select(
+        F.lit("c0").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        "tokens",
+    )
+    cfg = PipelineConfig(
+        scope="global", mode="transformer", alpha=0.05, window=200, warmup=20,
+        drift_detector="adwin",
+    )
+    out = scoring_ops.with_transformer_calibrate(base, cfg)
+    return out.select("turn_idx", "score", "thr", "is_anom", "is_drift")
+
+
+def _ivf_sql() -> str:
+    def lit(vec):
+        return "[" + ",".join(repr(x) for x in vec) + "]"
+
+    dots = ", ".join(
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), {lit(c)}) AS d{i}"
+        for i, c in enumerate(_IVF_CENTROIDS)
+    )
+    # sequential argmax with the same strict-> tie-break as the Spark fold
+    return f"""
+        WITH d AS (SELECT vec_id, {dots} FROM embeddings),
+        s1 AS (SELECT vec_id, d2, d3,
+                      CASE WHEN d1 > d0 THEN 1 ELSE 0 END AS b,
+                      CASE WHEN d1 > d0 THEN d1 ELSE d0 END AS v FROM d),
+        s2 AS (SELECT vec_id, d3,
+                      CASE WHEN d2 > v THEN 2 ELSE b END AS b,
+                      CASE WHEN d2 > v THEN d2 ELSE v END AS v FROM s1),
+        s3 AS (SELECT vec_id,
+                      CASE WHEN d3 > v THEN 3 ELSE b END AS b FROM s2)
+        SELECT vec_id, CAST(b AS INT) AS ivf_cell FROM s3
+    """
+
+
+def _srp_sql() -> str:
+    def lit(vec):
+        return "[" + ",".join(repr(x) for x in vec) + "]"
+
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_SRP_PLANES)
+    )
+    return f"SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM embeddings"
+
+
+_EXTRA_QUERIES = {
+    "ivf_assign": q_ivf_assign,
+    "srp_buckets": q_srp_buckets,
+    "simhash64": q_simhash64,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "transformer_calibrate": q_transformer_calibrate,
+}
+
+_BASE_QUERIES = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = dict(_BASE_QUERIES())
+    out.update(_EXTRA_QUERIES)
+    return out
+
+
+_BASE_ORACLES = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = dict(_BASE_ORACLES())
+    out["ivf_assign"] = _ivf_sql()
+    out["srp_buckets"] = _srp_sql()
+    return out

@@ -240,3 +240,123 @@ def with_hash_embed_score(
     if "__scope__" in result.columns:
         result = result.drop("__scope__")
     return result
+
+
+# ---------------------------------------------------------------------------
+# integrated transformer-mode kernel: score + conformal + drift + C10
+# ---------------------------------------------------------------------------
+
+def _transformer_stream_group(
+    token_rows: list[list[str]],
+    alpha: float,
+    cal_window: int,
+    warmup: int,
+    drift_kind: str,
+    adwin_delta: float,
+    seed: int,
+    dim: int,
+    embed_window: int,
+    decay: float,
+):
+    """Per-group sequential loop: hash-embedding context score feeding
+    the conformal threshold and drift detector, with BOTH calibration
+    buffer and context reset on drift — the C10 hook the reference
+    documents (src/transformer.py:61-63) but never wires. Returns
+    (score, thr, is_anom, is_drift) arrays."""
+    import bisect
+    from collections import deque
+
+    from ..adwin import make_detector
+
+    n = len(token_rows)
+    score = np.zeros(n)
+    thr = np.full(n, np.inf)
+    anom = np.zeros(n, dtype=bool)
+    drift = np.zeros(n, dtype=bool)
+    detector = make_detector(drift_kind, adwin_delta) if drift_kind != "none" else None
+    cache: dict[str, np.ndarray] = {}
+    ctx_buf: deque[np.ndarray] = deque(maxlen=embed_window)
+    cal_sorted: list[float] = []
+    cal_arrivals: deque[float] = deque()
+    for i, toks in enumerate(token_rows):
+        toks = list(toks or [])
+        # ---- score from prior context (transformer.py:78-101) ----
+        if toks and ctx_buf:
+            m = len(ctx_buf)
+            w = np.power(decay, np.arange(m, 0, -1, dtype=np.float64)).astype(np.float32)
+            total = float(w.sum())
+            w = w / np.float32(total) if total > 0 and math.isfinite(total) else np.full(m, 1.0 / m, np.float32)
+            ctx = (w[:, None] * np.stack(list(ctx_buf))).sum(axis=0)
+            nrm = float(np.linalg.norm(ctx))
+            ctx = (ctx / nrm).astype(np.float32) if nrm > 0 and math.isfinite(nrm) else np.zeros(dim, np.float32)
+            E = np.stack([_token_embedding(t, seed, dim, cache) for t in toks])
+            sims = np.clip((E @ ctx).astype(np.float64), -1.0, 1.0)
+            val = float(np.mean(1.0 - sims))
+            score[i] = min(1.0, max(0.0, val if math.isfinite(val) else 0.0))
+        for t in toks:
+            ctx_buf.append(_token_embedding(t, seed, dim, cache))
+        s = float(score[i])
+        # ---- conformal (calibration.py:28-53, stream.py:361-363) ----
+        bisect.insort(cal_sorted, s)
+        cal_arrivals.append(s)
+        if len(cal_arrivals) > cal_window:
+            oldest = cal_arrivals.popleft()
+            del cal_sorted[bisect.bisect_left(cal_sorted, oldest)]
+        k = max(1, int(round((1.0 - alpha) * len(cal_sorted))))
+        thr[i] = cal_sorted[k - 1]
+        anom[i] = (i + 1 >= warmup) and s > thr[i]
+        # ---- drift + resets (stream.py:365-368 + C10) ----
+        if detector is not None and detector.update(s):
+            drift[i] = True
+            cal_sorted.clear()
+            cal_arrivals.clear()
+            ctx_buf.clear()
+    return score, thr, anom, drift
+
+
+def with_transformer_calibrate(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    tokens_col: str = "tokens",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+) -> DataFrame:
+    """Transformer mode, fully integrated: one grouped pass per
+    conv_id doing scoring + calibration + drift with context reset."""
+    alpha, cal_window, warmup = cfg.alpha, cfg.window, cfg.warmup
+    drift_kind, delta = cfg.drift_detector, cfg.adwin_delta
+    seed, dim = cfg.seed, cfg.embed_dim
+    embed_window, decay = cfg.embed_window, cfg.embed_decay
+    order = list(order_cols)
+    group_keys = cfg.scope_keys()
+
+    work = df
+    if not group_keys:
+        work = work.withColumn("__scope__", F.lit(0))
+        group_keys = ["__scope__"]
+
+    fields = [f for f in work.schema.fields if f.name not in ("score", "thr", "is_anom", "is_drift")]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("score", T.DoubleType()),
+            T.StructField("thr", T.DoubleType()),
+            T.StructField("is_anom", T.BooleanType()),
+            T.StructField("is_drift", T.BooleanType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        rows = [list(x) if x is not None else [] for x in pdf[tokens_col]]
+        score, thr, anom, drift = _transformer_stream_group(
+            rows, alpha, cal_window, warmup, drift_kind, delta,
+            seed, dim, embed_window, decay,
+        )
+        pdf = pdf.assign(score=score, thr=thr, is_anom=anom, is_drift=drift)
+        return pdf[out_cols]
+
+    result = work.groupBy(*group_keys).applyInPandas(kernel, schema=out_schema)
+    if "__scope__" in result.columns:
+        result = result.drop("__scope__")
+    return result

@@ -205,3 +205,47 @@ class HashEmbedContext:
             if len(self._ctx_tokens) > self.window:
                 self._ctx_tokens.pop(0)
         return score
+
+
+def run_transformer_stream(
+    token_seqs: list[list[str]],
+    alpha: float = 0.01,
+    window: int = 5000,
+    warmup: int = 200,
+    embed_dim: int = 32,
+    embed_window: int = 32,
+    decay: float = 0.90,
+    seed: int = 20250819,
+    detector=None,
+) -> tuple[list[float], StreamResult]:
+    """The integrated transformer-mode stream: hash-embedding context
+    scoring (src/transformer.py:65-101) feeding the conformal loop
+    (src/stream.py:361-368), with BOTH the calibrator and the context
+    buffer reset on drift — the C10 hook the reference documents
+    (src/transformer.py:61-63) but never wires into main()."""
+    ctx = HashEmbedContext(embed_dim, embed_window, decay, seed)
+    scores: list[float] = []
+    out = StreamResult()
+    buf: list[float] = []
+    for i, toks in enumerate(token_seqs, start=1):
+        s = ctx.score_and_update(toks)
+        scores.append(s)
+        buf.append(s)
+        if len(buf) > window:
+            buf.pop(0)
+        thr = conformal_threshold(buf, alpha)
+        flag = i >= warmup and s > thr
+        drifted = False
+        if detector is not None:
+            detector.update(s)
+            drifted = bool(getattr(detector, "drift_detected", False))
+        if drifted:
+            out.n_drift += 1
+            buf.clear()
+            ctx.reset()  # C10
+        if flag:
+            out.n_anom += 1
+        out.thresholds.append(thr)
+        out.is_anom.append(flag)
+        out.is_drift.append(drifted)
+    return scores, out

@@ -124,3 +124,40 @@ def test_scored_templates_pipeline_end_to_end(spark):
 
     tpr, _ = tpr_at_fpr(scored, "score", "label", 0.01)
     assert tpr > 0.9
+
+
+def test_integrated_transformer_calibrate_matches_oracle(spark):
+    """Integrated transformer kernel (score + conformal + drift with
+    C10 context reset) vs the per-event oracle, on a stream with a
+    vocabulary shift that actually fires ADWIN."""
+    rng = __import__("random").Random(13)
+    # phase A: one repeated token -> context matches -> score ~ 0;
+    # phase B: fresh random tokens from a wide vocab every row ->
+    # context never matches -> score ~ 1, a sustained mean shift
+    vocab_b = [f"other{i}" for i in range(500)]
+    seqs = [["stable"] * 6 for _ in range(400)]
+    seqs += [[rng.choice(vocab_b) for _ in range(6)] for _ in range(400)]
+
+    from log_project_spark.adwin import Adwin
+
+    scores_o, want = oracle.run_transformer_stream(
+        seqs, alpha=0.05, window=100, warmup=10, detector=Adwin(delta=0.002)
+    )
+    assert want.n_drift > 0, "fixture must drift"
+
+    rows = [("c0", i, s) for i, s in enumerate(seqs)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, tokens array<string>")
+    cfg = PipelineConfig(
+        scope="global", mode="transformer", alpha=0.05, window=100, warmup=10,
+        drift_detector="adwin", adwin_delta=0.002,
+    )
+    got = (
+        scoring.with_transformer_calibrate(df, cfg)
+        .orderBy("turn_idx")
+        .collect()
+    )
+    for i, r in enumerate(got):
+        assert r["score"] == pytest.approx(scores_o[i], abs=1e-6), i
+        assert r["is_drift"] == want.is_drift[i], i
+        assert r["is_anom"] == want.is_anom[i], i
+        assert r["thr"] == pytest.approx(want.thresholds[i], abs=1e-6), i
