@@ -845,3 +845,33 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["ivf_assign"] = _ivf_sql()
     out["srp_buckets"] = _srp_sql()
     return out
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact verification path) —
+    oracle-checked against the same formula in DuckDB."""
+    from log_project_spark.operators import dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups(emb, threshold=0.35, exact=True)
+
+
+_EXTRA_QUERIES["embedding_near_dups"] = q_embedding_near_dups
+
+_EMB_DUPS_SQL = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35
+"""
+
+_BASE_ORACLES2 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = dict(_BASE_ORACLES2())
+    out["embedding_near_dups"] = _EMB_DUPS_SQL
+    return out

@@ -217,3 +217,46 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    seed: int = 20250819,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from SRP-LSH
+    bucket equality (near-identical vectors share all sign bits with
+    high probability), then exact cosine verification on the
+    candidates only. `exact=True` skips LSH and verifies all pairs via
+    the id-ordered self-join (small-table baseline). Scale path is the
+    bucket join: shuffle bounded by bucket skew, never O(n^2)."""
+    from .similarity import dot_expr, make_planes, norm_expr, srp_bucket, _as_double
+
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cands = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        planes = make_planes(
+            df.select(F.size(vec_col)).first()[0], n_planes, seed
+        )
+        bucketed = df.select(
+            F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("__b__")
+        )
+        a = bucketed.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("__b__").alias("ba")
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("__b__").alias("bb")
+        )
+        cands = a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+    ea, eb = _as_double(F.col("va")), _as_double(F.col("vb"))
+    cos = dot_expr(ea, eb) / (norm_expr(ea) * norm_expr(eb))
+    return (
+        cands.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

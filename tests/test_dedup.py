@@ -97,3 +97,31 @@ def test_simhash_hamming_pairs(spark, docs_df):
 def test_shingles_content(spark, docs_df):
     sh = dedup.with_shingles(docs_df.where(F.col("doc_id") == 5), n=2).first()
     assert list(sh["shingles"]) == ["unrelated short", "short text"]
+
+
+def test_embedding_near_dups(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # 3 near-duplicates of vector 0 (tiny perturbations)
+    for j in range(3):
+        pert = base[0] + rng.standard_normal(16).astype(np.float32) * 0.01
+        rows.append((100 + j, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dups(df, threshold=0.99, exact=True).collect()
+    }
+    want = {(0, 100), (0, 101), (0, 102), (100, 101), (100, 102), (101, 102)}
+    assert exact == want
+
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dups(df, threshold=0.99, exact=False).collect()
+    }
+    # LSH candidates verify exactly -> subset of the exact pairs, and
+    # near-identical vectors share all SRP bits -> full recall here
+    assert lsh == want
