@@ -18,6 +18,12 @@ Two implementations with identical output:
 - `with_tokens_pandas` — Arrow-vectorized pandas UDF doing the same
   chain with pandas .str ops, kept for the "grok/regex parse via
   Arrow UDFs" contract surface and as a perf comparison point.
+
+Known divergence: Java/RE2 `\\s` is ASCII-only while Python's is
+Unicode-aware, so exotic Unicode whitespace (U+00A0 etc.) tokenizes
+differently between the native path and the reference/pandas path.
+Log lines are ASCII in practice; use the pandas variant when Unicode
+whitespace fidelity matters.
 """
 
 from __future__ import annotations
@@ -45,18 +51,28 @@ def normalized_col(text: Column) -> Column:
     return c
 
 
+def _masked_unstripped(text: Column) -> Column:
+    """Mask chain WITHOUT the strip pass (whitespace handled later by
+    collapse+btrim — masking never matches whitespace and lowercasing
+    never creates/destroys it, so the passes commute)."""
+    c = F.lower(text)
+    c = F.regexp_replace(c, HEX_PATTERN, "<hex>")
+    c = F.regexp_replace(c, IP_PATTERN, "<ip>")
+    c = F.regexp_replace(c, NUM_PATTERN, "<num>")
+    return c
+
+
 def tokens_col(text: Column) -> Column:
     """Masked token array (no empty tokens, like str.split()).
 
-    After the exact strip, Java's split cannot emit empty tokens
-    (leading whitespace is gone, runs are merged by `+`, trailing
-    empties are dropped by split's limit=0), except on the empty
-    string, which yields [""] -> mapped to []. This avoids a
-    higher-order filter() lambda, which Catalyst interprets per
-    element (no codegen) and which dominated the parse stage cost."""
-    norm = normalized_col(text)
+    Derived from the collapsed norm_text: after `\\s+` -> ' ' collapse
+    and btrim the delimiter is exactly one space, so the split is a
+    single-char split and the empty string maps to []. No higher-order
+    filter() lambda anywhere (Catalyst interprets HOF lambdas per
+    element — measured 6x slowdown)."""
+    norm = norm_text_col(text)
     return F.when(norm == "", F.array().cast("array<string>")).otherwise(
-        F.split(norm, r"\s+")
+        F.split(norm, " ")
     )
 
 
@@ -76,10 +92,11 @@ def with_tokens(
 
 def norm_text_col(text: Column) -> Column:
     """Masked, space-rejoined scoring text (reference joins token
-    sequences back with " ": src/stream.py:135). After the exact
-    strip, collapsing whitespace runs to single spaces equals
-    " ".join(line.split()) — one regex pass, no array materialized."""
-    return F.regexp_replace(normalized_col(text), r"\s+", " ")
+    sequences back with " ": src/stream.py:135) ==
+    " ".join(mask(line).split()). Collapsing `\\s+` to ' ' then
+    btrimming spaces is equivalent to strip-then-collapse and saves a
+    regex pass (btrim is a plain char scan)."""
+    return F.btrim(F.regexp_replace(_masked_unstripped(text), r"\s+", " "), F.lit(" "))
 
 
 def with_normalized_text(
