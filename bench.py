@@ -20,7 +20,7 @@ Two parts:
    BENCH/BASELINE.md.)
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-BENCH_PIPELINE_ROWS (default 12_000_000), BENCH_SCALE_N (default 2),
+BENCH_PIPELINE_ROWS (default 16_000_000), BENCH_SCALE_N (default 2),
 BENCH_SKIP_SCALING=1.
 """
 
@@ -194,7 +194,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    rows = int(os.environ.get("BENCH_PIPELINE_ROWS", "12000000"))
+    rows = int(os.environ.get("BENCH_PIPELINE_ROWS", "16000000"))
 
     timings = run_headline(sf_dir, cpus)
 

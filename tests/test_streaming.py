@@ -51,11 +51,18 @@ def test_streaming_matches_batch_kernel(spark, fixture_dir, tmp_path):
     os.makedirs(src_dir)
     import shutil
 
+    stamp = 1_700_000_000
     for c in range(4):
         chunk_dir = str(root / f"chunk_{c}")
         for f_ in sorted(os.listdir(chunk_dir)):
             if f_.endswith(".parquet"):
-                shutil.copy(os.path.join(chunk_dir, f_), os.path.join(src_dir, f"{c}_{f_}"))
+                dst = os.path.join(src_dir, f"{c}_{f_}")
+                shutil.copy(os.path.join(chunk_dir, f_), dst)
+                # explicit increasing mtimes: the file source orders
+                # micro-batches by modification time, and same-ms copies
+                # race under load
+                stamp += 60
+                os.utime(dst, (stamp, stamp))
 
     stream = (
         spark.readStream.schema("conv_id string, turn_idx int, score double")
@@ -83,3 +90,63 @@ def test_streaming_matches_batch_kernel(spark, fixture_dir, tmp_path):
         (k, got[k], batch[k]) for k in batch if got[k] != batch[k]
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_streaming_fanout_sinks(spark, fixture_dir, tmp_path):
+    """foreachBatch routing writes the three sinks incrementally and
+    the union reloads to the full input (streaming fan-out parity)."""
+    import shutil
+
+    from log_project_spark.streaming.stream_pipeline import route_foreach_batch
+
+    root, base = fixture_dir
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    stamp = 1_700_000_000
+    for c in range(4):
+        chunk_dir = str(root / f"chunk_{c}")
+        for f_ in sorted(os.listdir(chunk_dir)):
+            if f_.endswith(".parquet"):
+                dst = os.path.join(src_dir, f"{c}_{f_}")
+                shutil.copy(os.path.join(chunk_dir, f_), dst)
+                # explicit increasing mtimes: the file source orders
+                # micro-batches by modification time, and same-ms copies
+                # race under load
+                stamp += 60
+                os.utime(dst, (stamp, stamp))
+
+    cfg = PipelineConfig(window=50, warmup=10, scope="conv_id", drift_detector="adwin")
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, score double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    out_dir = str(tmp_path / "sinks")
+    q = (
+        scored_stream(stream, cfg)
+        .writeStream.foreachBatch(route_foreach_batch(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    total_in = base.count()
+    total_out = 0
+    for sink in ("anomalous", "drifting", "nominal"):
+        try:
+            total_out += spark.read.parquet(f"{out_dir}/{sink}").count()
+        except Exception:
+            pass
+    assert total_out == total_in
+    # routed rows are disjoint by construction: (conv_id, turn_idx) unique
+    union = None
+    for sink in ("anomalous", "drifting", "nominal"):
+        try:
+            part = spark.read.parquet(f"{out_dir}/{sink}").select("conv_id", "turn_idx")
+            union = part if union is None else union.unionAll(part)
+        except Exception:
+            pass
+    assert union.distinct().count() == total_in
