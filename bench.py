@@ -147,6 +147,25 @@ def pipeline_child(cpus: int, rows: int, input_path: str) -> None:
     print(json.dumps(best))
 
 
+def _generate_input(rows: int, input_path: str) -> None:
+    from log_project_spark import synth
+    from log_project_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_gen", master="local[24]", shuffle_partitions=64)
+    n_files = max(64, rows // 300_000)
+    (
+        synth.transcripts(
+            spark, rows, n_convs=max(rows // 50, 1), anom_ratio=0.03,
+            seed=20250819, hot_frac=0.10, n_hot_convs=4,
+        )
+        .repartition(n_files, "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .parquet(input_path)
+    )
+    spark.stop()
+
+
 def run_scaling(rows: int, big_cpus: int) -> dict:
     # Parallelism pair: N and 4N with 4N*2 <= machine cores, because in
     # local mode every task slot also runs a Python worker — at
@@ -156,6 +175,12 @@ def run_scaling(rows: int, big_cpus: int) -> dict:
     big_cpus = n_small * 4
     small_cpus = n_small
     input_path = os.path.join(REPO, ".cache", f"bench_transcripts_{rows}")
+
+    if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+        # generate the shared input at full machine parallelism in the
+        # parent (generation is Catalyst-only and not part of the
+        # timed protocol; children would build it at N cores otherwise)
+        _generate_input(rows, input_path)
 
     results = {}
     for cpus in (big_cpus, small_cpus):
