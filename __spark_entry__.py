@@ -741,19 +741,25 @@ def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 60-bit SimHash (md5-prefix token hash, grouped on
+    doc_id only) — bit-identical to the DuckDB restatement."""
     from log_project_spark.operators import dedup
 
     toked = _doc_word_tokens(spark, sf_dir).withColumnRenamed("toks", "tokens")
-    return dedup.simhash64(toked.select("doc_id", "tokens")).select("doc_id", "simhash")
+    return dedup.simhash60(toked.select("doc_id", "tokens")).select("doc_id", "simhash")
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming near-pairs over the portable simhash; max_hamming=3
+    with 4x15-bit bands so the pigeonhole recall guarantee holds
+    (ADVICE r1: 4 bands cannot cover hamming 8)."""
     from log_project_spark.operators import dedup
 
     toked = _doc_word_tokens(spark, sf_dir).withColumnRenamed("toks", "tokens")
-    sig = dedup.simhash64(toked.select("doc_id", "tokens"))
-    return dedup.hamming_near_pairs(sig, max_hamming=8)
+    sig = dedup.simhash60(toked.select("doc_id", "tokens"))
+    pairs = dedup.hamming_near_pairs(sig, max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,13 +825,60 @@ def _srp_sql() -> str:
     return f"SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM embeddings"
 
 
+def q_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard with the document-frequency cap ON (VERDICT
+    r1 #3): items with df > 150 leave the sets before the inverted-
+    index self-join."""
+    from log_project_spark.operators import dedup
+
+    toked = _doc_word_tokens(spark, sf_dir).withColumnRenamed("toks", "tokens")
+    return dedup.jaccard_pairs(
+        toked, threshold=0.8, max_item_df=150, log_dropped=False
+    )
+
+
+_EMB_BANDS, _EMB_BAND_BITS = 4, 4
+_EMB_PLANES = None  # built lazily per embedding dim
+
+
+def _emb_planes(dim: int) -> list[list[float]]:
+    global _EMB_PLANES
+    if _EMB_PLANES is None or len(_EMB_PLANES[0]) != dim:
+        from log_project_spark.operators.similarity import make_planes
+
+        _EMB_PLANES = make_planes(dim, _EMB_BANDS * _EMB_BAND_BITS, seed=20250819)
+    return _EMB_PLANES
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SRP-LSH near-dup path (VERDICT r1 #2): candidates from
+    OR-of-4x4-bit bands with shared deterministic planes, exact cosine
+    verify. bucket_impl='expr' keeps the dot-product fold sequential,
+    bit-identical to the DuckDB restatement."""
+    from log_project_spark.operators import dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    return dedup.embedding_near_dups(
+        emb,
+        threshold=0.35,
+        n_bands=_EMB_BANDS,
+        band_bits=_EMB_BAND_BITS,
+        exact=False,
+        planes=_emb_planes(dim),
+        bucket_impl="expr",
+    )
+
+
 _EXTRA_QUERIES = {
     "ivf_assign": q_ivf_assign,
     "srp_buckets": q_srp_buckets,
-    "simhash64": q_simhash64,
+    "simhash60": q_simhash60,
     "simhash_near_pairs": q_simhash_near_pairs,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "transformer_calibrate": q_transformer_calibrate,
+    "jaccard_pairs_capped": q_jaccard_pairs_capped,
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
 }
 
 _BASE_QUERIES = queries
@@ -837,6 +890,134 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
     return out
 
 
+_DUCK_WORD_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+
+
+def _simhash_sql() -> str:
+    """DuckDB restatement of the portable 60-bit simhash: md5-hex
+    prefix -> BIGINT per token, per-bit sign sums grouped by doc_id."""
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(60)
+    )
+    sig = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60))
+    return f"""
+        WITH toked AS (SELECT doc_id, {_DUCK_WORD_TOKS} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM toked),
+        h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+        bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits)
+        SELECT t.doc_id, coalesce(s.simhash, 0) AS simhash
+        FROM toked t LEFT JOIN sig s USING (doc_id)
+    """
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
+    width = 60 // n_bands
+    mask = (1 << width) - 1
+    bands = "\n              UNION ALL\n".join(
+        f"              SELECT doc_id, simhash, {b} AS band,"
+        f" (simhash >> {width * b}) & {mask} AS bucket FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH s0 AS ({_simhash_sql()}),
+        sig AS (SELECT doc_id, simhash FROM s0),
+        bands AS (
+{bands}),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.simhash AS sa, b.simhash AS sb
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cands WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+_MINHASH_SIG_SQL = f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_WORD_TOKS} AS t FROM documents),
+            sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+                   FROM toks, LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+                   WHERE len(t) >= 3),
+            sig AS (SELECT doc_id,
+                           min(md5(s || '|0')) AS m0, min(md5(s || '|1')) AS m1,
+                           min(md5(s || '|2')) AS m2, min(md5(s || '|3')) AS m3
+                    FROM sh GROUP BY doc_id)
+"""
+
+
+def _lsh_pairs_sql() -> str:
+    """Banded minhash-LSH candidate pairs (VERDICT r1 #7: this is pure
+    md5/SQL, so it gets a DuckDB oracle)."""
+    return f"""
+        {_MINHASH_SIG_SQL},
+        bands AS (
+          SELECT doc_id, 0 AS band, m0 || m1 AS bucket FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, m2 || m3 AS bucket FROM sig)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
+def _jaccard_capped_sql(max_df: int = 150, threshold: float = 0.8) -> str:
+    return f"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, unnest({_DUCK_WORD_TOKS}) AS tok FROM documents),
+        freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        kept AS (SELECT t.doc_id, t.tok FROM tok t JOIN freq USING (tok)
+                 WHERE freq.c <= {max_df}),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b,
+               round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}
+    """
+
+
+def _emb_lsh_sql(threshold: float = 0.35) -> str:
+    """Banded SRP-LSH near-dups with the shared deterministic planes;
+    dot products via list_dot_product (sequential fold, matching the
+    Spark 'expr' bucket path bit-for-bit)."""
+    planes = _emb_planes(64)
+
+    def lit(vec):
+        return "[" + ",".join(repr(x) for x in vec) + "]"
+
+    band_rows = []
+    for b in range(_EMB_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {lit(planes[b * _EMB_BAND_BITS + j])}) >= 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(_EMB_BAND_BITS)
+        )
+        band_rows.append(f"          SELECT vec_id, {b} AS band, ({bits}) AS bucket FROM e")
+    bands = "\n          UNION ALL\n".join(band_rows)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bands AS (
+{bands}),
+        cands AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        verified AS (
+          SELECT id_a, id_b,
+                 round(list_dot_product(ea.v, eb.v)
+                       / (sqrt(list_dot_product(ea.v, ea.v))
+                          * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos
+          FROM cands JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+        SELECT id_a, id_b, cos FROM verified WHERE cos >= {threshold}
+    """
+
+
 _BASE_ORACLES = oracle_sql
 
 
@@ -844,6 +1025,11 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = dict(_BASE_ORACLES())
     out["ivf_assign"] = _ivf_sql()
     out["srp_buckets"] = _srp_sql()
+    out["simhash60"] = _simhash_sql()
+    out["simhash_near_pairs"] = _simhash_pairs_sql()
+    out["lsh_candidate_pairs"] = _lsh_pairs_sql()
+    out["jaccard_pairs_capped"] = _jaccard_capped_sql()
+    out["embedding_near_dups_lsh"] = _emb_lsh_sql()
     return out
 
 

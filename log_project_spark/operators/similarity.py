@@ -79,6 +79,50 @@ def make_planes(dim: int, n_planes: int = 8, seed: int = 20250819) -> list[list[
     return [[float(v) for v in rng.standard_normal(dim)] for _ in range(n_planes)]
 
 
+def srp_band_bucket(
+    vec_col: Column, planes: list[list[float]], band: int, band_bits: int
+) -> Column:
+    """Bucket id for ONE band: sign bits of planes
+    [band*band_bits, (band+1)*band_bits). Catalyst sequential fold —
+    bit-identical to a DuckDB list_dot_product restatement (the
+    oracle path); use srp_band_buckets_pandas for wide fan-outs."""
+    bucket = F.lit(0).cast("long")
+    for j in range(band_bits):
+        plane = planes[band * band_bits + j]
+        plit = F.array(*[F.lit(float(x)) for x in plane])
+        d = dot_expr(_as_double(vec_col), plit)
+        bucket = bucket.bitwiseOR(
+            F.when(d >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def srp_band_buckets_pandas(
+    df: DataFrame,
+    vec_col: str,
+    planes: list[list[float]],
+    n_bands: int,
+    band_bits: int,
+    out_col: str = "__bands__",
+) -> DataFrame:
+    """All band buckets at once via one BLAS matmul per Arrow batch:
+    signs of (batch x planes^T), packed into n_bands bucket longs. The
+    scale path for banded SRP-LSH (no per-element Catalyst lambda
+    interpretation, no per-plane expression tree)."""
+    P = np.asarray(planes, dtype=np.float64).T  # dim x (n_bands*band_bits)
+    weights = (1 << np.arange(band_bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bands_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            M = np.stack(s.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+            bits = (M @ P) >= 0  # n x (n_bands*band_bits)
+            buckets = bits.reshape(len(M), n_bands, band_bits) @ weights
+            yield pd.Series(list(buckets.astype(np.int64)), index=s.index)
+
+    return df.withColumn(out_col, bands_udf(F.col(vec_col)))
+
+
 def topk_cosine_lsh(
     df: DataFrame,
     query: list[float],

@@ -72,26 +72,99 @@ def test_lsh_candidates_include_exact_dups(spark, docs_df):
     assert (0, 3) in pairs  # identical docs always collide in every band
 
 
+def _py_simhash60(tokens):
+    """Pure-Python transliteration of the portable 60-bit simhash."""
+    import hashlib
+
+    sums = [0] * 60
+    for t in tokens:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        for i in range(60):
+            sums[i] += 1 if (h >> i) & 1 else -1
+    return sum((1 << i) for i in range(60) if sums[i] > 0)
+
+
 def test_simhash_properties(spark, docs_df):
-    sig = dedup.simhash64(docs_df.select("doc_id", "tokens"), "tokens")
+    sig = dedup.simhash60(docs_df.select("doc_id", "tokens"), "tokens")
     rows = {r["doc_id"]: r["simhash"] for r in sig.collect()}
     assert rows[0] == rows[3]  # identical token multisets
     assert rows[2] == rows[4]  # simhash is order-insensitive (bag of tokens)
     # near-dups differ in few bits; far docs in many
     def ham(a, b):
-        return bin((a ^ b) & (2**64 - 1)).count("1")
+        return bin(a ^ b).count("1")
 
     assert ham(rows[0], rows[1]) < ham(rows[0], rows[2])
 
 
+def test_simhash_bit_exact_vs_python(spark, docs_df):
+    """Portable-hash bit-exactness: the Catalyst signature equals the
+    pure-Python md5-prefix transliteration (the same formula the
+    DuckDB oracle states)."""
+    sig = dedup.simhash60(docs_df.select("doc_id", "tokens"), "tokens")
+    rows = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    for i, text in DOCS:
+        assert rows[i] == _py_simhash60(text.lower().split()), f"doc {i}"
+
+
+def test_simhash_groups_on_id_only(spark, docs_df):
+    """VERDICT r1 #4: byte-identical rows with distinct ids must NOT
+    collapse, and the aggregate's grouping key is the id column."""
+    sig = dedup.simhash60(docs_df.select("doc_id", "tokens"), "tokens")
+    assert sig.count() == len(DOCS)  # docs 0 and 3 both survive
+    plan = sig._jdf.queryExecution().optimizedPlan().toString()
+    agg_lines = [ln for ln in plan.splitlines() if "Aggregate" in ln]
+    assert agg_lines and all("tokens" not in ln.split("[")[1].split("]")[0] for ln in agg_lines)
+
+
 def test_simhash_hamming_pairs(spark, docs_df):
-    sig = dedup.simhash64(docs_df.select("doc_id", "tokens"), "tokens")
+    sig = dedup.simhash60(docs_df.select("doc_id", "tokens"), "tokens")
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
         for r in dedup.hamming_near_pairs(sig, max_hamming=10).collect()
     }
     assert pairs.get((0, 3)) == 0
     assert pairs.get((2, 4)) == 0
+
+
+def test_hamming_band_pigeonhole(spark):
+    """Pairs at exactly max_hamming are guaranteed found when
+    n_bands > max_hamming; invalid bandings are rejected."""
+    base = 0b101101 << 30 | 0xABCDE
+    # flip 3 bits spread across three different 15-bit bands
+    other = base ^ (1 << 2) ^ (1 << 17) ^ (1 << 32)
+    sig = spark.createDataFrame(
+        [(0, base), (1, other)], "doc_id long, simhash long"
+    )
+    got = dedup.hamming_near_pairs(sig, max_hamming=3).collect()
+    assert len(got) == 1 and got[0]["hamming"] == 3
+    with pytest.raises(ValueError):
+        dedup.hamming_near_pairs(sig, max_hamming=3, n_bands=3).collect()
+
+
+def test_jaccard_df_cap_drops_hot_items(spark):
+    """VERDICT r1 #3: hot items leave the index (and the set sizes)
+    so the self-join is bounded; uncapped corpora are unchanged."""
+    import itertools
+
+    rows = [(i, f"hot unique{i} tail{i % 3}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "tokens", dedup.word_tokens(F.col("text"))
+    )
+    # cap below the hot token's df: sets become {unique_i, tail_j}
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(df, threshold=0.3, max_item_df=10).collect()
+    }
+    sets = {i: {f"unique{i}", f"tail{i % 3}"} for i in range(12)}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if round(j, 6) >= 0.3:
+            want[(a, b)] = round(j, 6)
+    assert got == pytest.approx(want)
+    # without the cap every pair shares 'hot' (1/5 < 0.3 -> none pass,
+    # but the candidate space is all 66 pairs); with it only tail-mates
+    assert len(want) == 3 * len(list(itertools.combinations(range(4), 2)))
 
 
 def test_shingles_content(spark, docs_df):
@@ -123,5 +196,64 @@ def test_embedding_near_dups(spark):
         for r in dedup.embedding_near_dups(df, threshold=0.99, exact=False).collect()
     }
     # LSH candidates verify exactly -> subset of the exact pairs, and
-    # near-identical vectors share all SRP bits -> full recall here
+    # near-identical vectors share every band with prob ~1 -> full
+    # recall here
     assert lsh == want
+
+
+def test_embedding_lsh_recall_floor(spark):
+    """VERDICT r1 #2: banded SRP-LSH must reach >=0.95 recall at
+    cos>=0.95 (the single conjunctive bucket of round 1 got ~0.53)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 32
+    base = rng.standard_normal((150, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant 60 perturbed near-dups at cosine ~0.95-0.99
+    for j in range(60):
+        src = base[j % 150]
+        noise = rng.standard_normal(dim) * rng.uniform(0.01, 0.05)
+        v = src + noise
+        rows.append((1000 + j, [float(x) for x in v / np.linalg.norm(v)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dups(df, threshold=0.95, exact=True).collect()
+    }
+    assert len(exact) >= 30  # fixture actually contains near-dups
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dups(df, threshold=0.95, exact=False).collect()
+    }
+    assert lsh <= exact  # verification is exact -> no false positives
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f}"
+    # theoretical floor of the default banding at cos=0.95
+    assert dedup.srp_recall(0.95, 6, 6) >= 0.95
+
+
+def test_srp_band_bucket_impls_agree(spark):
+    """The Catalyst fold (oracle path) and the Arrow matmul path
+    (scale path) produce identical band buckets."""
+    import numpy as np
+
+    from log_project_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((80, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = sim.make_planes(16, 12, seed=3)
+    expr_rows = df.select(
+        "vec_id",
+        *[
+            sim.srp_band_bucket(F.col("embedding"), planes, b, 4).alias(f"b{b}")
+            for b in range(3)
+        ],
+    ).collect()
+    pandas_rows = sim.srp_band_buckets_pandas(df, "embedding", planes, 3, 4).collect()
+    want = {r["vec_id"]: [r["b0"], r["b1"], r["b2"]] for r in expr_rows}
+    got = {r["vec_id"]: list(r["__bands__"]) for r in pandas_rows}
+    assert got == want
