@@ -239,10 +239,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collapse-then-single-char-split: no HOF filter lambda in the plan
     docs = _t(spark, sf_dir, "documents")
-    return docs.withColumn(
-        "toks", F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    )
+    return docs.withColumn("toks", parse_ops.word_tokens_col(F.col("text")))
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,13 +325,18 @@ _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-free stopword-ratio language ID heuristic; confusion
-    counts against the table's lang column."""
-    toked = _doc_word_tokens(spark, sf_dir)
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    ratio = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x))) / F.size("toks")
+    counts against the table's lang column. Stopword occurrences via
+    ONE regexp_count over the collapsed norm text — no HOF lambda
+    (VERDICT r1 #5)."""
+    from log_project_spark.operators.text_analysis import stopword_count
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = parse_ops.ws_collapsed_col(F.col("text"))
+    n_tok = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+    ratio = stopword_count(norm, _STOPWORDS) / n_tok
     pred = F.when(ratio > 0.08, F.lit("en")).otherwise(F.lit("other"))
     return (
-        toked.select("lang", pred.alias("pred"))
+        docs.select("lang", pred.alias("pred"))
         .groupBy("lang", "pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -340,17 +344,17 @@ def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality features: token count, mean token length, stopword
-    ratio (all JVM-side expressions)."""
-    toked = _doc_word_tokens(spark, sf_dir)
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_tok = F.size("toks")
-    n_stop = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x)))
-    tok_chars = F.aggregate(
-        F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return toked.select(
+    ratio — token count from the single-char split, token-length sum
+    from length arithmetic, stopwords from one regexp_count (VERDICT
+    r1 #5: zero HOF lambdas in the plan)."""
+    from log_project_spark.operators.text_analysis import stopword_count
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = parse_ops.ws_collapsed_col(F.col("text"))
+    n_tok = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+    n_stop = stopword_count(norm, _STOPWORDS)
+    tok_chars = F.when(n_tok > 0, F.length(norm) - (n_tok - F.lit(1))).otherwise(F.lit(0))
+    return docs.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         F.round(tok_chars / n_tok, 6).alias("avg_token_len"),

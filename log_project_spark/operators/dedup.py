@@ -44,11 +44,11 @@ SIMHASH_BITS = 60
 
 
 def word_tokens(text: Column) -> Column:
-    """Lowercased whitespace tokens. Collapse-to-single-space then
-    single-char split — no higher-order filter() lambda (Catalyst
-    interprets HOF lambdas per element; see operators/parse.py)."""
-    norm = F.btrim(F.regexp_replace(F.lower(text), r"\s+", " "), F.lit(" "))
-    return F.when(norm == "", F.array().cast("array<string>")).otherwise(F.split(norm, " "))
+    """Lowercased whitespace tokens — collapse-then-single-char-split,
+    no higher-order filter() lambda (see operators/parse.py)."""
+    from .parse import word_tokens_col
+
+    return word_tokens_col(text)
 
 
 def exact_dup_groups(df: DataFrame, key_col: str = "text", id_col: str = "doc_id") -> DataFrame:

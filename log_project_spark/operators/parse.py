@@ -105,6 +105,21 @@ def with_normalized_text(
     return df.withColumn(out_col, norm_text_col(F.col(text_col)))
 
 
+def ws_collapsed_col(text: Column) -> Column:
+    """Lowercased text with runs of whitespace collapsed to single
+    spaces and ends trimmed (NO masking) — the 'norm' form the
+    text-analysis/dedup operators tokenize from."""
+    return F.btrim(F.regexp_replace(F.lower(text), r"\s+", " "), F.lit(" "))
+
+
+def word_tokens_col(text: Column) -> Column:
+    """Plain lowercase whitespace tokens (no masking), empty-safe.
+    Same collapse-then-single-char-split trick as tokens_col: no
+    higher-order filter() lambda in the plan."""
+    norm = ws_collapsed_col(text)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(F.split(norm, " "))
+
+
 # ---------------------------------------------------------------------------
 # Arrow/pandas-UDF variant (same output, Python vectorized path)
 # ---------------------------------------------------------------------------
