@@ -552,6 +552,10 @@ def oracle_sql() -> dict[str, str]:
             FROM thr
         """,
         "fixed_thr_per_user": """
+            -- LEFT join + infinity so under-warmup users (< 40 events)
+            -- still emit (thr=inf, n_flagged=0) like the kernel does
+            -- (ADVICE r1: the old inner join + HAVING relied on every
+            -- testdata user having >= 40 events)
             WITH o AS (
               SELECT user_id, event_id, value,
                      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -560,9 +564,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id,
                      list_sort(list(value) FILTER (WHERE rn <= 40))[1 + CAST(floor(0.98 * 39) AS INT)] AS thr
               FROM o GROUP BY user_id HAVING count(*) >= 40)
-            SELECT o.user_id, f.thr,
+            SELECT o.user_id, coalesce(f.thr, 'infinity'::DOUBLE) AS thr,
                    count(*) FILTER (WHERE rn >= 40 AND value > f.thr) AS n_flagged
-            FROM o JOIN f ON o.user_id = f.user_id
+            FROM o LEFT JOIN f ON o.user_id = f.user_id
             GROUP BY o.user_id, f.thr
         """,
         "exact_percentiles": """
@@ -703,8 +707,13 @@ def oracle_sql() -> dict[str, str]:
             FROM norm WHERE len(toks) > 0
         """,
         "multimodal_stub": """
+            -- first UTF-8 BYTE (hex of the blob), not the first code
+            -- point: ascii() diverges on non-ASCII text and returns 0
+            -- (not -1) for empty strings (ADVICE r1)
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-                   CAST(ascii(text) AS BIGINT) AS header_byte
+                   CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+                             ELSE CAST(('0x' || substring(hex(encode(text)), 1, 2)) AS INT)
+                        END AS BIGINT) AS header_byte
             FROM documents
         """,
     }

@@ -78,21 +78,39 @@ def canonical_sort(summary: DataFrame) -> DataFrame:
 
 
 def format_row_values(summary: DataFrame) -> DataFrame:
-    """Column format policy (make_readme_table.py:47-73): TPR 4
-    decimals or NA; latency/eps/CPU 1 decimal; passthrough otherwise."""
-    def fmt_metric(c: str):
-        d = F.col(c).cast("double")
-        return F.when(d.isNull(), F.coalesce(F.col(c), F.lit("NA"))).otherwise(
-            F.format_number(d, 1)
+    """Column format policy, faithful to make_readme_table.py:47-73
+    (ADVICE r1 — format_number inserts thousands separators the
+    reference's f'{x:.1f}' never does):
+
+    - _fmt1 (p95/p99/eps/CPU): ''/NA -> 'NA'; numeric -> '%.1f' (no
+      grouping); other non-numeric strings pass through.
+    - _fmt_tpr: mini_* datasets -> literal 'NA' regardless of value;
+      synth_* '' -> 'NA'; numeric -> '%.4f'; else passthrough."""
+
+    def fmt1(c: str):
+        s = F.trim(F.coalesce(F.col(c).cast("string"), F.lit("")))
+        d = F.col(c).try_cast("double")
+        return (
+            F.when((s == "") | (F.upper(s) == "NA"), F.lit("NA"))
+            .when(d.isNotNull(), F.format_string("%.1f", d))
+            .otherwise(s)
         )
 
-    tpr = F.col("TPR_at_1pct_FPR").cast("double")
-    out = summary.withColumn(
-        "TPR_at_1pct_FPR",
-        F.when(tpr.isNull(), F.lit("NA")).otherwise(F.format_number(tpr, 4)),
+    ds = F.lower(F.trim(F.coalesce(F.col("dataset"), F.lit(""))))
+    tpr_s = F.trim(F.coalesce(F.col("TPR_at_1pct_FPR").cast("string"), F.lit("")))
+    tpr_d = F.col("TPR_at_1pct_FPR").try_cast("double")
+    tpr_fmt = (
+        F.when(ds.startswith("mini"), F.lit("NA"))
+        .when(
+            (tpr_s == "") | (F.upper(tpr_s) == "NA"),
+            F.when(ds.startswith("synth"), F.lit("NA")).otherwise(tpr_s),
+        )
+        .when(tpr_d.isNotNull(), F.format_string("%.4f", tpr_d))
+        .otherwise(tpr_s)
     )
+    out = summary.withColumn("TPR_at_1pct_FPR", tpr_fmt)
     for c in ("p95_ms", "p99_ms", "eps", "CPU_pct"):
-        out = out.withColumn(c, fmt_metric(c))
+        out = out.withColumn(c, fmt1(c))
     return out
 
 

@@ -48,3 +48,33 @@ def test_frame_sample_plan(spark):
     frames = mm.frame_sample_plan(vid, every_ms=1000).collect()
     assert len(frames) == max(dur // 1000, 1)
     assert [r["frame_ms"] for r in frames] == [i * 1000 for i in range(len(frames))]
+
+
+def test_multimodal_gate_pair_on_non_ascii_and_empty(spark, tmp_path):
+    """ADVICE r1: the oracle must read the first UTF-8 BYTE (not the
+    first code point) and emit -1 for empty strings — run the exact
+    queries()/oracle_sql() pair on rows the testdata never exercises."""
+    import duckdb
+    import __spark_entry__ as entry
+
+    rows = [(0, "héllo"), (1, ""), (2, "abc"), (3, "€uro")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["header_byte"])
+        for r in entry.q_multimodal_stub(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(entry.oracle_sql()["multimodal_stub"]).fetchall()
+    }
+    assert got == want
+    assert got[0] == (6, 0x68)   # 'é' is 2 bytes; first byte is 'h'
+    assert got[1] == (0, -1)     # empty -> -1
+    assert got[3] == (4 + 2, 0xE2)  # '€' = E2 82 AC

@@ -128,6 +128,37 @@ def test_reporting_readme_table(spark):
     assert body[-1].startswith("| zz_unknown ")
 
 
+def test_reporting_format_reference_semantics(spark):
+    """ADVICE r1: no thousands separators (f'{x:.1f}' parity), '' ->
+    'NA', mini_* TPR forced to literal 'NA' even when numeric."""
+    from log_project_spark import reporting
+
+    rows = [
+        ("synth_tokens", "baseline", "conformal", "0.91234", "1234.56", "2000.1", "4652140.0", ""),
+        ("mini_tokens", "baseline", "conformal", "0.5", "1.0", "2.0", "3.0", "weird"),
+        ("synth_tokens", "baseline", "no_calib", "", "", "NA", "1.0", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "dataset string, mode string, calibration string, TPR_at_1pct_FPR string, "
+        "p95_ms string, p99_ms string, eps string, CPU_pct string",
+    )
+    got = {
+        (r["dataset"], r["calibration"]): r
+        for r in reporting.format_row_values(df).collect()
+    }
+    r1 = got[("synth_tokens", "conformal")]
+    assert r1["TPR_at_1pct_FPR"] == "0.9123"
+    assert r1["p95_ms"] == "1234.6"  # no '1,234.6'
+    assert r1["eps"] == "4652140.0"
+    assert r1["CPU_pct"] == "NA"  # empty -> NA
+    r2 = got[("mini_tokens", "conformal")]
+    assert r2["TPR_at_1pct_FPR"] == "NA"  # mini override beats numeric
+    assert r2["CPU_pct"] == "weird"  # non-numeric passthrough
+    r3 = got[("synth_tokens", "no_calib")]
+    assert r3["TPR_at_1pct_FPR"] == "NA" and r3["p95_ms"] == "NA" and r3["p99_ms"] == "NA"
+
+
 def test_job_cli_reference_artifacts(spark, tmp_path):
     """jobs/run_pipeline.py over the reference's own mini artifacts."""
     import sys
