@@ -224,6 +224,31 @@ def categorical_rank(col: Column, ordered_values: list[str]) -> Column:
 # 24-column summary ledger (S5, src/stream.py:79-104,194-254)
 # ---------------------------------------------------------------------------
 
+def resolve_commit() -> str:
+    """Commit provenance for the summary ledger, mirroring the
+    reference chain (/root/reference/src/stream.py:115-128): COMMIT
+    env -> `git rev-parse --short HEAD` -> 'NA'."""
+    import os
+    import subprocess
+
+    env = os.getenv("COMMIT")
+    if env:
+        return env.strip()
+    try:
+        out = (
+            subprocess.check_output(
+                ["git", "rev-parse", "--short", "HEAD"],
+                stderr=subprocess.DEVNULL,
+                cwd=os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            )
+            .decode("utf-8")
+            .strip()
+        )
+        return out or "NA"
+    except Exception:
+        return "NA"
+
+
 SUMMARY_COLUMNS = [
     "date", "commit", "dataset", "mode", "calibration", "drift_detector",
     "seed", "events", "anomalies", "drifts", "TPR_at_1pct_FPR", "p95_ms",

@@ -28,6 +28,42 @@ from .operators.calibrate import calibrate
 from . import synth
 
 
+def _pgroup_cpu_seconds() -> float | None:
+    """Total CPU seconds (utime+stime) of every live process in this
+    process group — the driver, the local-mode JVM it spawned, and the
+    Python workers the JVM forked all share the group. psutil-free
+    /proc parse (psutil is unavailable here; the reference samples
+    psutil.Process().cpu_percent every 50 events,
+    /root/reference/src/stream.py:345-349 — at engine scale we report
+    the group-wide CPU/wall ratio over the run instead). Returns None
+    off-Linux. Undercounts work done by processes that exited mid-run.
+    """
+    import os
+
+    if not os.path.isdir("/proc"):
+        return None
+    try:
+        pgid = os.getpgrp()
+        clk = os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return None
+    total = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as f:
+                data = f.read().decode("ascii", "replace")
+            # comm (field 2) may contain spaces/parens: split after ')'
+            rest = data[data.rindex(")") + 2:].split()
+            if int(rest[2]) != pgid:  # field 5: pgrp
+                continue
+            total += int(rest[11]) + int(rest[12])  # fields 14/15: utime+stime
+        except Exception:
+            continue
+    return total / clk
+
+
 def parse_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Tokens + normalized scoring text (SURVEY.md P1-P6). The
     empty-line drop predicates on norm_text (equivalent to
@@ -77,6 +113,7 @@ def run_pipeline(
     role_dim = role_dim if role_dim is not None else synth.role_dim(spark)
     tool_dim = tool_dim if tool_dim is not None else synth.tool_dim(spark)
 
+    cpu_start = _pgroup_cpu_seconds()
     t_start = time.perf_counter()
 
     def build_parsed() -> DataFrame:
@@ -139,7 +176,14 @@ def run_pipeline(
     eps = n_total / wall if wall > 0 else float("nan")
     per_event_ms = (wall / n_total) * 1000.0 if n_total else float("nan")
 
+    cpu_end = _pgroup_cpu_seconds()
+    cpu_pct_str = "NA"
+    if cpu_start is not None and cpu_end is not None and wall > 0:
+        # process-group CPU over wall: >100% means parallel speedup
+        cpu_pct_str = f"{100.0 * (cpu_end - cpu_start) / wall:.1f}"
+
     metrics = {
+        "cpu_pct": cpu_pct_str,
         "events": n_total,
         "anomalies": n_anom,
         "drifts": n_drift,
@@ -181,7 +225,8 @@ def summary_from_result(
         p95_ms=m["p95_ms"],
         p99_ms=m["p99_ms"],
         eps=m["eps"],
-        cpu_pct="NA",
+        cpu_pct=m.get("cpu_pct", "NA"),
+        commit=agg.resolve_commit(),
         calib_target_fpr="NA" if no_calib else f"{cfg.alpha:.6g}",
         calib_window="NA" if no_calib else str(cfg.window),
         warmup=cfg.warmup,
@@ -189,6 +234,10 @@ def summary_from_result(
         iso_n_estimators=str(cfg.iso_n_estimators) if cfg.mode == "baseline" else "NA",
         iso_max_samples=str(cfg.iso_max_samples) if cfg.mode == "baseline" else "NA",
         iso_random_state=str(cfg.seed) if cfg.mode == "baseline" else "NA",
-        notes=f"{cfg.mode} {cfg.calibration};engine=pyspark;energy_na",
+        notes=(
+            f"{cfg.mode} {cfg.calibration};engine=pyspark;"
+            f"cpu_sampler={'pgroup_delta' if m.get('cpu_pct', 'NA') != 'NA' else 'na'};"
+            "energy_na"
+        ),
         drift_detector="ADWIN" if cfg.drift_detector == "adwin" else "none",
     )

@@ -75,6 +75,27 @@ def test_summary_row_from_pipeline(spark, result):
     assert r["TPR_at_1pct_FPR"] == res.metrics["tpr_at_1pct_fpr"]
 
 
+def test_summary_commit_provenance_and_cpu(spark, result, monkeypatch):
+    """VERDICT r1 #9: commit resolves COMMIT env -> git rev-parse ->
+    NA (src/stream.py:115-128); CPU% comes from the /proc process-group
+    sampler on Linux."""
+    import subprocess
+
+    from log_project_spark.operators import aggregate as agg
+
+    res, cfg, _ = result
+    monkeypatch.delenv("COMMIT", raising=False)
+    row = summary_from_result(spark, res, cfg, dataset="synth_transcripts").first()
+    sha = subprocess.check_output(
+        ["git", "rev-parse", "--short", "HEAD"], cwd="/root/repo"
+    ).decode().strip()
+    assert row["commit"] == sha
+    assert float(row["CPU_pct"]) > 0  # /proc sampler active in this env
+    assert "cpu_sampler=pgroup_delta" in row["notes"]
+    monkeypatch.setenv("COMMIT", "deadbeef")
+    assert agg.resolve_commit() == "deadbeef"
+
+
 def test_checkpoint_resume(spark, small_transcripts, tmp_path):
     cfg = PipelineConfig(mode="len", window=100, warmup=10, scope="conv_id")
     root = str(tmp_path / "ckpt")
