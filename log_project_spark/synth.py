@@ -94,6 +94,8 @@ def transcripts(
     hot_frac: float = 0.10,
     n_hot_convs: int = 4,
     partitions: int | None = None,
+    drift_convs_mod: int = 0,
+    drift_from: int = 0,
 ) -> DataFrame:
     """Distributed transcripts table: (conv_id, turn_idx, role, text,
     tool, ts, label). label=1 on exactly int(n*ratio) rows.
@@ -102,7 +104,14 @@ def transcripts(
     `n_hot_convs` hot conversations (skew), the rest round-robin over
     `n_convs` normal ones — (conv_id, turn_idx) is dense and unique by
     construction.
-    """
+
+    Drift injection (`drift_convs_mod` > 0): conversations where
+    hash(conv_id) % mod == 0 switch their TEXT to the anomaly template
+    pool from `drift_from` onward — a persistent distribution shift
+    that drives the scorer mean up so ADWIN fires. Labels are NOT
+    changed (the exact-count invariant stays); this knob exists so
+    benches can exercise non-empty anomalous AND drifting sinks
+    deterministically (VERDICT r1 #8)."""
     n = int(n_turns)
     if n <= 0:
         raise ValueError("n_turns must be positive")
@@ -159,6 +168,11 @@ def transcripts(
         .otherwise(F.concat(F.lit("auth ALERT brute force attempt from "), ip_val))
     )
     body = F.when(is_anom, anom_body).otherwise(normal_body)
+    if drift_convs_mod > 0:
+        drifted = (F.pmod(F.xxhash64(conv_id), F.lit(drift_convs_mod)) == 0) & (
+            turn_idx >= F.lit(drift_from)
+        )
+        body = F.when(drifted, anom_body).otherwise(body)
 
     # timestamps: per-conv monotone in turn_idx, deterministic
     ts = F.timestamp_seconds(
