@@ -48,6 +48,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--checkpoint-root", default="", help="resumable stage checkpoint root")
     ap.add_argument("--summary-out", dest="summary_out", default="")
     ap.add_argument("--scores-out", default="", help="per-event scores CSV trace")
+    ap.add_argument("--sleep-ms", type=float, default=0.0, help="per-event pacing simulation")
+    ap.add_argument(
+        "--figures-out", default="",
+        help="render the reference's summary bar charts (SVG) into this dir",
+    )
     ap.add_argument("--master", default="", help="override master (default: from spark-submit)")
     return ap.parse_args(argv)
 
@@ -101,6 +106,7 @@ def main(argv: list[str] | None = None) -> None:
         mode=args.mode,
         contamination=args.contam,
         seed=args.seed,
+        sleep_ms=args.sleep_ms,
     )
     res = run_pipeline(
         spark,
@@ -123,6 +129,14 @@ def main(argv: list[str] | None = None) -> None:
             "event_idx", F.col("turn_idx").cast("long")
         )
         formats.write_scores_csv(trace, args.scores_out)
+    if args.figures_out:
+        if not args.summary_out:
+            raise SystemExit("--figures-out requires --summary-out")
+        from log_project_spark import figures
+
+        summary_df = spark.read.option("header", True).csv(args.summary_out)
+        paths = figures.make_plots(summary_df, args.figures_out)
+        print(f"[run_pipeline] figures: {paths}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,10 @@ class PipelineConfig:
     drift_detector: str = "adwin"  # "adwin" | "none"
     adwin_delta: float = 0.002
 
+    # per-event pacing simulation knob (src/stream.py:268-270,373-374);
+    # 0 = off. Parity/simulation only — never set in throughput paths.
+    sleep_ms: float = 0.0
+
     # scoring (src/stream.py:264,289-290)
     mode: str = "baseline"  # "baseline" (iforest) | "transformer" (hash-embed) | "len"
     contamination: float = 0.01

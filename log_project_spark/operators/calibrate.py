@@ -66,8 +66,15 @@ def _run_group(
     no_calib: bool,
     drift_kind: str,
     adwin_delta: float,
+    sleep_ms: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Sequential per-group kernel; returns (thr, is_anom, is_drift)."""
+    """Sequential per-group kernel; returns (thr, is_anom, is_drift).
+
+    sleep_ms > 0 paces each event like the reference's --sleep_ms
+    simulation knob (src/stream.py:268-270,373-374); off by default
+    and never used in throughput paths."""
+    import time as _time
+
     n = len(scores)
     thr = np.full(n, np.inf)
     anom = np.zeros(n, dtype=bool)
@@ -85,6 +92,9 @@ def _run_group(
             for i in range(n):
                 if detector.update(float(scores[i])):
                     drift[i] = True
+        if sleep_ms > 0:
+            for _ in range(n):
+                _time.sleep(sleep_ms / 1000.0)
         return thr, anom, drift
 
     buf: list[float] = []  # sorted conformal window since last reset
@@ -105,6 +115,8 @@ def _run_group(
             drift[i] = True
             buf.clear()
             seg_start = i + 1  # noqa: F841  (documents segment semantics)
+        if sleep_ms > 0:
+            _time.sleep(sleep_ms / 1000.0)
     return thr, anom, drift
 
 
@@ -180,6 +192,7 @@ def calibrate(
     no_calib = cfg.calibration == "no_calib"
     alpha, window, warmup = cfg.alpha, cfg.window, cfg.warmup
     drift_kind, delta = cfg.drift_detector, cfg.adwin_delta
+    sleep_ms = getattr(cfg, "sleep_ms", 0.0)
     scope_keys = list(group_keys) if group_keys is not None else cfg.scope_keys()
 
     if batch_score_fn is not None:
@@ -236,7 +249,7 @@ def calibrate(
         drift = np.empty(len(pdf), dtype=bool)
         for s, e in zip(starts, ends):
             t, a, d = _run_group(
-                scores[s:e], alpha, window, warmup, no_calib, drift_kind, delta
+                scores[s:e], alpha, window, warmup, no_calib, drift_kind, delta, sleep_ms
             )
             thr[s:e], anom[s:e], drift[s:e] = t, a, d
         return pdf.assign(thr=thr, is_anom=anom, is_drift=drift)[out_cols]
@@ -299,7 +312,8 @@ def calibrate(
             drift = np.empty(head.num_rows, dtype=bool)
             for s, e in zip(starts, ends):
                 t, a, d = _run_group(
-                    head_scores[s:e], alpha, window, warmup, no_calib, drift_kind, delta
+                    head_scores[s:e], alpha, window, warmup, no_calib, drift_kind, delta,
+                    sleep_ms,
                 )
                 thr[s:e], anom[s:e], drift[s:e] = t, a, d
             arrays = []

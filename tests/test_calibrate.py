@@ -194,3 +194,22 @@ def test_arrow_engine_matches_pandas_engine(spark):
         for r in calibrate(t, cfg, engine="pandas").collect()
     }
     assert a == b
+
+
+def test_sleep_ms_paces_kernel():
+    """--sleep_ms parity knob (src/stream.py:268-270,373-374): the
+    per-group kernel sleeps per event when configured."""
+    import time
+
+    import numpy as np
+
+    from log_project_spark.operators.calibrate import _run_group
+
+    scores = np.arange(30, dtype=np.float64)
+    t0 = time.perf_counter()
+    _run_group(scores, 0.05, 10, 5, False, "none", 0.002, sleep_ms=5.0)
+    wall = time.perf_counter() - t0
+    assert wall >= 30 * 0.005
+    t0 = time.perf_counter()
+    _run_group(scores, 0.05, 10, 5, False, "none", 0.002)
+    assert time.perf_counter() - t0 < 0.05

@@ -176,3 +176,37 @@ def test_job_cli_reference_artifacts(spark, tmp_path):
     assert len(lines) == 2 and lines[0].startswith("date,commit,dataset")
     assert "mini_tokens" in lines[1]
     assert len(scores.read_text().splitlines()) == 6  # header + 5 events
+
+
+def test_figures_render_reference_parity(spark, tmp_path):
+    """Figure rendering (make_plots.py parity): keep-last + canonical
+    order + NA skip, three SVGs with one bar per surviving config."""
+    import xml.etree.ElementTree as ET
+
+    from log_project_spark import figures
+
+    rows = [
+        ("synth_tokens", "baseline", "conformal", "3.5", "3.8", "314.3"),
+        ("synth_tokens", "baseline", "conformal", "3.6", "3.9", "300.0"),  # last wins
+        ("mini_tokens", "baseline", "no_calib", "NA", "2.0", "100.0"),     # p95 NA -> skipped
+        ("synth_tokens", "transformer", "conformal", "0.1", "0.2", "4652140.0"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "dataset string, mode string, calibration string, p95_ms string, "
+        "p99_ms string, eps string",
+    )
+    out = figures.make_plots(df, str(tmp_path))
+    assert set(out) == {"p95_ms", "p99_ms", "eps"}
+    ns = {"svg": "http://www.w3.org/2000/svg"}
+    root = ET.parse(out["p95_ms"]).getroot()
+    bars = [r for r in root.findall("svg:rect", ns) if r.get("fill") == figures.BAR_COLOR]
+    assert len(bars) == 2  # NA row skipped, keep-last collapsed the dup
+    texts = [t.text for t in root.findall("svg:text", ns)]
+    assert "3.6" in texts  # last occurrence won
+    root99 = ET.parse(out["p99_ms"]).getroot()
+    bars99 = [r for r in root99.findall("svg:rect", ns) if r.get("fill") == figures.BAR_COLOR]
+    assert len(bars99) == 3  # mini row has numeric p99
+    # heights proportional to values: baseline (3.9) taller than transformer (0.2)
+    by_h = sorted(float(b.get("height")) for b in bars99)
+    assert by_h[-1] > 10 * by_h[0]
