@@ -212,8 +212,10 @@ def pipeline_child(cpus: int, rows: int, input_path: str, profile: dict) -> None
         }
         assert on_disk == warm["sink_counts"], (on_disk, warm["sink_counts"])
     # the host is shared (2x wall variance observed on identical
-    # passes): take the best of 2 timed passes and report all walls
-    passes = [one_pass() for _ in range(2)]
+    # passes, up to 3x over a day): take the best of K timed passes
+    # (default 3, env BENCH_TIMED_PASSES) and report all walls
+    n_timed = int(os.environ.get("BENCH_TIMED_PASSES", "3"))
+    passes = [one_pass() for _ in range(n_timed)]
     best = min(passes, key=lambda p: p["wall_sec"])
     best["all_walls"] = [p["wall_sec"] for p in passes]
     print(json.dumps(best))
@@ -283,7 +285,8 @@ def _prev_bench_queries() -> tuple[str, dict] | None:
         try:
             with open(path) as f:
                 data = json.load(f)
-            q = data.get("queries") or (data.get("result") or {}).get("queries")
+            # the driver wraps bench output under "parsed"
+            q = data.get("queries") or (data.get("parsed") or {}).get("queries")
             if isinstance(q, dict):
                 return os.path.basename(path), q
         except Exception:
