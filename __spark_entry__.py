@@ -883,8 +883,39 @@ def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_percentiles_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM-only distributed exact-percentile path (VERDICT r1 #1)
+    under the DuckDB gate: whole-column lower-index p50/p95/p99."""
+    ev = _t(spark, sf_dir, "events")
+    ps = agg_ops.exact_percentile_distributed(ev, "value", [50.0, 95.0, 99.0])
+    return spark.createDataFrame(
+        [(ps[50.0], ps[95.0], ps[99.0])], "p50 double, p95 double, p99 double"
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search end-to-end: top-2 cells by centroid dot with
+    the vec_id=0 query, exact cosine top-10 within the probed cells."""
+    from log_project_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    out = sim.ivf_topk(
+        emb.where(F.col("vec_id") != 0),
+        query,
+        _IVF_CENTROIDS,
+        k=10,
+        n_probe=2,
+        impl="expr",
+    )
+    return out.select("vec_id", F.round("cos", 6).alias("cos"))
+
+
 _EXTRA_QUERIES = {
     "ivf_assign": q_ivf_assign,
+    "exact_percentiles_global": q_exact_percentiles_global,
+    "ivf_topk": q_ivf_topk,
     "srp_buckets": q_srp_buckets,
     "simhash60": q_simhash60,
     "simhash_near_pairs": q_simhash_near_pairs,
@@ -1031,6 +1062,43 @@ def _emb_lsh_sql(threshold: float = 0.35) -> str:
     """
 
 
+_PCTL_GLOBAL_SQL = """
+    SELECT list_sort(list(value))[1 + CAST(floor(0.50 * (count(*) - 1)) AS INT)] AS p50,
+           list_sort(list(value))[1 + CAST(floor(0.95 * (count(*) - 1)) AS INT)] AS p95,
+           list_sort(list(value))[1 + CAST(floor(0.99 * (count(*) - 1)) AS INT)] AS p99
+    FROM events
+"""
+
+
+def _ivf_topk_sql(n_probe: int = 2, k: int = 10) -> str:
+    def lit(vec):
+        return "[" + ",".join(repr(x) for x in vec) + "]"
+
+    cd = "\n          UNION ALL\n".join(
+        f"          SELECT {i} AS cell, list_dot_product(q.qv, {lit(c)}) AS d FROM q"
+        for i, c in enumerate(_IVF_CENTROIDS)
+    )
+    return f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        cd AS (
+{cd}),
+        cells AS (
+          SELECT cell FROM (
+            SELECT cell, row_number() OVER (ORDER BY d DESC, cell) AS rn FROM cd)
+          WHERE rn <= {n_probe}),
+        assign AS ({_ivf_sql()}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id != 0),
+        c AS (
+          SELECT e.vec_id,
+                 list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+          FROM e JOIN assign USING (vec_id), q
+          WHERE assign.ivf_cell IN (SELECT cell FROM cells))
+        SELECT vec_id, round(cos_raw, 6) AS cos
+        FROM c ORDER BY cos_raw DESC, vec_id LIMIT {k}
+    """
+
+
 _BASE_ORACLES = oracle_sql
 
 
@@ -1038,6 +1106,8 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = dict(_BASE_ORACLES())
     out["ivf_assign"] = _ivf_sql()
     out["srp_buckets"] = _srp_sql()
+    out["exact_percentiles_global"] = _PCTL_GLOBAL_SQL
+    out["ivf_topk"] = _ivf_topk_sql()
     out["simhash60"] = _simhash_sql()
     out["simhash_near_pairs"] = _simhash_pairs_sql()
     out["lsh_candidate_pairs"] = _lsh_pairs_sql()

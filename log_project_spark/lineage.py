@@ -82,17 +82,22 @@ class CheckpointedRun:
         elapsed = time.perf_counter() - t0
 
         persisted = self.spark.read.parquet(data_dir)
+        # lineage by WRITTEN-FILE identity (input_file_name of the
+        # read-back), not read-split id — stable across re-reads with
+        # different split planning (VERDICT r1 minor)
         part_counts = (
-            persisted.groupBy(F.spark_partition_id().alias("partition"))
+            persisted.groupBy(
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file")
+            )
             .agg(F.count(F.lit(1)).alias("rows"))
-            .orderBy("partition")
+            .orderBy("file")
             .collect()
         )
         manifest = {
             "stage": name,
             "fingerprint": fp,
             "rows": int(sum(r["rows"] for r in part_counts)),
-            "partitions": [{"partition": int(r["partition"]), "rows": int(r["rows"])} for r in part_counts],
+            "partitions": [{"file": r["file"], "rows": int(r["rows"])} for r in part_counts],
             "columns": persisted.columns,
             "wall_seconds": round(elapsed, 4),
             "upstream": [s.name for s in self.stages],

@@ -191,6 +191,32 @@ def ivf_assign(
     return out.drop(*[f"__d{i}__" for i in range(len(centroids))])
 
 
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "auto",
+) -> DataFrame:
+    """IVF probe search: rank the (small) centroid list against the
+    query on the driver, scan only rows assigned to the top `n_probe`
+    cells, exact cosine top-k within. With a cell-partitioned/bucketed
+    table the cell filter becomes partition pruning — the scan touches
+    ~n_probe/|cells| of the data. Ties between equal centroid dots go
+    to the lower cell index (matches the SQL oracle's row_number
+    tie-break)."""
+    dots = [
+        (sum(float(a) * float(b) for a, b in zip(c, query)), i)
+        for i, c in enumerate(centroids)
+    ]
+    cells = [i for _, i in sorted(dots, key=lambda t: (-t[0], t[1]))[:n_probe]]
+    cand = ivf_assign(df, centroids, vec_col).where(F.col("ivf_cell").isin(cells))
+    return topk_cosine(cand.drop("ivf_cell"), query, k, id_col, vec_col, impl=impl)
+
+
 def pairwise_cosine_pandas(
     df: DataFrame,
     query: list[float],

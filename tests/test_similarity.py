@@ -65,3 +65,33 @@ def test_pandas_matrix_path_matches_expression_path(spark, emb_df, vectors):
     arrow = {r["vec_id"]: r["cos"] for r in sim.pairwise_cosine_pandas(emb_df, q).select("vec_id", "cos").collect()}
     for i in expr:
         assert arrow[i] == pytest.approx(expr[i], abs=1e-9)
+
+
+def test_ivf_topk_matches_bruteforce_within_cells(spark):
+    """ivf_topk == exact top-k restricted to the probed cells; with
+    n_probe = |cells| it equals the global brute force."""
+    import numpy as np
+
+    from log_project_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((200, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[float(x) for x in c] for c in rng.standard_normal((4, 16))]
+    q = [float(x) for x in rng.standard_normal(16)]
+
+    full = [r["vec_id"] for r in sim.topk_cosine(df, q, k=5, impl="expr").collect()]
+    probed_all = [
+        r["vec_id"]
+        for r in sim.ivf_topk(df, q, cents, k=5, n_probe=4, impl="expr").collect()
+    ]
+    assert probed_all == full  # probing every cell == brute force
+
+    one = sim.ivf_topk(df, q, cents, k=5, n_probe=1, impl="expr")
+    assigned = sim.ivf_assign(df, cents)
+    dots = [(sum(a * b for a, b in zip(c, q)), i) for i, c in enumerate(cents)]
+    best_cell = sorted(dots, key=lambda t: (-t[0], t[1]))[0][1]
+    in_cell = {r["vec_id"] for r in assigned.where(f"ivf_cell = {best_cell}").collect()}
+    got = [r["vec_id"] for r in one.collect()]
+    assert set(got) <= in_cell  # scan touched only the probed cell
