@@ -912,10 +912,105 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos", 6).alias("cos"))
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data-pipeline composition, end to end: fingerprint
+    exact-dedup (keep min doc_id) -> simhash60 near-dup removal (drop
+    the higher id of every pair at hamming <= 3) -> heuristic quality
+    gate. Returns the surviving (doc_id, quality) rows. Every stage is
+    the library operator the individual gates already check."""
+    from pyspark.sql import Window
+
+    from log_project_spark.operators import dedup
+    from log_project_spark.operators import text_analysis as ta
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = ta.with_fingerprint(docs)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact = (
+        fp.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__", "fp")
+    )
+    toked = exact.withColumn("tokens", dedup.word_tokens(F.col("text")))
+    sig = dedup.simhash60(toked.select("doc_id", "tokens"))
+    pairs = dedup.hamming_near_pairs(sig, max_hamming=3)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = exact.join(drop, "doc_id", "left_anti")
+    scored = ta.with_quality_score(survivors)
+    return scored.where(F.col("quality") >= 0.2).select("doc_id", "quality")
+
+
+def _corpus_curation_sql(max_hamming: int = 3, n_bands: int = 4, min_q: float = 0.2) -> str:
+    sums, sig_expr = _simhash_fragments()
+    width = 60 // n_bands
+    mask = (1 << width) - 1
+    bands = "\n          UNION ALL\n".join(
+        f"          SELECT doc_id, simhash, {b} AS band,"
+        f" (simhash >> {width * b}) & {mask} AS bucket FROM sig"
+        for b in range(n_bands)
+    )
+    stop = "['the','a','of','and','to','in','is','it','that','for']"
+    return f"""
+        WITH norm0 AS (
+          SELECT doc_id, text,
+                 array_to_string({_DUCK_WORD_TOKS}, ' ') AS norm
+          FROM documents),
+        fp AS (SELECT doc_id, text, norm,
+                      substring(sha256(norm), 1, 16) AS fp FROM norm0),
+        exact AS (
+          SELECT doc_id, text, norm FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp)
+          WHERE rn = 1),
+        tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+                FROM exact WHERE norm != ''),
+        h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+        bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+        sig0 AS (SELECT doc_id, CAST({sig_expr} AS BIGINT) AS simhash FROM bits),
+        sig AS (SELECT e.doc_id, coalesce(s.simhash, 0) AS simhash
+                FROM exact e LEFT JOIN sig0 s USING (doc_id)),
+        bands AS (
+{bands}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}),
+        dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+        surv AS (
+          SELECT e.doc_id, e.text, e.norm FROM exact e
+          LEFT JOIN dropped d USING (doc_id) WHERE d.doc_id IS NULL),
+        feat0 AS (
+          SELECT doc_id, text, norm,
+                 CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS n_tok,
+                 length(text) AS n_chars,
+                 len(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{{}}]')) AS n_punct,
+                 len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+                 len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                 len(list_filter(string_split(norm, ' '), x -> list_contains({stop}, x))) AS n_stop
+          FROM surv),
+        feat AS (
+          SELECT doc_id,
+                 round(CAST(CASE WHEN n_tok > 0 THEN length(norm) - (n_tok - 1) ELSE 0 END AS DOUBLE)
+                       / (CASE WHEN n_tok > 0 THEN n_tok ELSE 1 END), 6) AS avg_token_len,
+                 round(CAST(n_punct AS DOUBLE) / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END), 6) AS punct_ratio,
+                 round(CAST(n_digit AS DOUBLE) / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END), 6) AS digit_ratio,
+                 round(CAST(n_stop AS DOUBLE) / (CASE WHEN n_tok > 0 THEN n_tok ELSE 1 END), 6) AS stop_ratio
+          FROM feat0),
+        q AS (
+          SELECT doc_id,
+                 round(((1.0 - least(abs(avg_token_len - 5.0) / 5.0, 1.0))
+                        + least(stop_ratio * 4.0, 1.0)
+                        + greatest(0.0, 1.0 - (punct_ratio + digit_ratio) * 2.0)) / 3.0, 6) AS quality
+          FROM feat)
+        SELECT doc_id, quality FROM q WHERE quality >= {min_q}
+    """
+
+
 _EXTRA_QUERIES = {
     "ivf_assign": q_ivf_assign,
     "exact_percentiles_global": q_exact_percentiles_global,
     "ivf_topk": q_ivf_topk,
+    "corpus_curation": q_corpus_curation,
     "srp_buckets": q_srp_buckets,
     "simhash60": q_simhash60,
     "simhash_near_pairs": q_simhash_near_pairs,
@@ -937,13 +1032,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
 _DUCK_WORD_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
 
 
-def _simhash_sql() -> str:
-    """DuckDB restatement of the portable 60-bit simhash: md5-hex
-    prefix -> BIGINT per token, per-bit sign sums grouped by doc_id."""
+def _simhash_fragments() -> tuple[str, str]:
+    """(per-bit sign sums over column h, signature from b0..b59)."""
     sums = ", ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(60)
     )
     sig = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60))
+    return sums, sig
+
+
+def _simhash_sql() -> str:
+    """DuckDB restatement of the portable 60-bit simhash: md5-hex
+    prefix -> BIGINT per token, per-bit sign sums grouped by doc_id."""
+    sums, sig = _simhash_fragments()
     return f"""
         WITH toked AS (SELECT doc_id, {_DUCK_WORD_TOKS} AS toks FROM documents),
         tok AS (SELECT doc_id, unnest(toks) AS tok FROM toked),
@@ -1108,6 +1209,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["srp_buckets"] = _srp_sql()
     out["exact_percentiles_global"] = _PCTL_GLOBAL_SQL
     out["ivf_topk"] = _ivf_topk_sql()
+    out["corpus_curation"] = _corpus_curation_sql()
     out["simhash60"] = _simhash_sql()
     out["simhash_near_pairs"] = _simhash_pairs_sql()
     out["lsh_candidate_pairs"] = _lsh_pairs_sql()

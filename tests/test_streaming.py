@@ -137,7 +137,7 @@ def test_streaming_fanout_sinks(spark, fixture_dir, tmp_path):
     total_out = 0
     for sink in ("anomalous", "drifting", "nominal"):
         try:
-            total_out += spark.read.parquet(f"{out_dir}/{sink}").count()
+            total_out += spark.read.parquet(f"{out_dir}/sink={sink}").count()
         except Exception:
             pass
     assert total_out == total_in
@@ -145,7 +145,7 @@ def test_streaming_fanout_sinks(spark, fixture_dir, tmp_path):
     union = None
     for sink in ("anomalous", "drifting", "nominal"):
         try:
-            part = spark.read.parquet(f"{out_dir}/{sink}").select("conv_id", "turn_idx")
+            part = spark.read.parquet(f"{out_dir}/sink={sink}").select("conv_id", "turn_idx")
             union = part if union is None else union.unionAll(part)
         except Exception:
             pass
