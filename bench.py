@@ -63,6 +63,7 @@ HEADLINE = [
     "quality_score",
     "iforest_scores",
     "salted_counts",
+    "corpus_curation",
 ]
 
 # generation/pipeline profiles for the two scaling variants

@@ -257,3 +257,33 @@ def test_srp_band_bucket_impls_agree(spark):
     want = {r["vec_id"]: [r["b0"], r["b1"], r["b2"]] for r in expr_rows}
     got = {r["vec_id"]: list(r["__bands__"]) for r in pandas_rows}
     assert got == want
+
+
+def test_hamming_band_completeness_random(spark):
+    """Pigeonhole completeness on random signatures: the banded
+    candidate join finds EVERY pair at hamming <= max_hamming."""
+    import itertools
+    import random
+
+    rng = random.Random(13)
+    # cluster signatures around a few centers so near pairs exist
+    centers = [rng.getrandbits(60) for _ in range(6)]
+    sigs = []
+    for i in range(48):
+        base = centers[i % 6]
+        flips = rng.sample(range(60), rng.randint(0, 4))
+        v = base
+        for b in flips:
+            v ^= 1 << b
+        sigs.append((i, v))
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.hamming_near_pairs(df, max_hamming=5).collect()
+    }
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(sigs, 2):
+        h = bin(a ^ b).count("1")
+        if h <= 5:
+            want[(i, j)] = h
+    assert got == want
