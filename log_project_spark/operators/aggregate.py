@@ -136,10 +136,11 @@ def tpr_at_fpr_df(
     label_col: str = "label",
     target_fpr: float = 0.01,
 ) -> DataFrame:
-    """Single-plan DataFrame variant (SQL-expressible, oracle-checkable):
-    aggregate the label-split score arrays, then pick the threshold and
-    count positive hits in a post-projection (Spark forbids nested
-    aggregates)."""
+    """Single-plan DataFrame variant (SQL-expressible, oracle-checkable).
+    Collects the label-split score arrays into ONE aggregate row — fine
+    at gate/report scale, NOT the 10^12-row path: the scalable default
+    is tpr_at_fpr (JVM percentile + one positive aggregate), which
+    run_pipeline uses."""
     arrays = scored.agg(
         F.sort_array(
             F.collect_list(F.when(F.col(label_col) == 0, F.col(score_col)))
