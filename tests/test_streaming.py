@@ -150,3 +150,74 @@ def test_streaming_fanout_sinks(spark, fixture_dir, tmp_path):
         except Exception:
             pass
     assert union.distinct().count() == total_in
+
+
+def test_streaming_drift_parity_across_microbatches(spark, tmp_path):
+    """ADWIN fires mid-stream (score mean shifts at turn 2048) and the
+    detection + calibrator reset must land on the SAME rows whether
+    the stream arrives as one batch or as 4 micro-batches — i.e. the
+    pickled detector state survives micro-batch boundaries."""
+    import os
+
+    import numpy as np
+
+    from log_project_spark.streaming.stream_pipeline import scored_stream
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    scores = np.concatenate(
+        [rng.normal(0.5, 0.002, n // 2), rng.normal(0.52, 0.002, n // 2)]
+    )
+    rows = [("c0", i, float(s)) for i, s in enumerate(scores)]
+    base = spark.createDataFrame(rows, "conv_id string, turn_idx int, score double")
+    cfg = PipelineConfig(window=200, warmup=20, scope="conv_id", drift_detector="adwin")
+
+    batch = {
+        r["turn_idx"]: (r["thr"], r["is_anom"], r["is_drift"])
+        for r in calibrate(base, cfg).collect()
+    }
+    n_drift = sum(1 for v in batch.values() if v[2])
+    assert n_drift >= 1  # the fixture actually drifts
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    stamp = 1_700_000_000
+    for c in range(4):
+        lo, hi = c * (n // 4), (c + 1) * (n // 4)
+        (
+            base.where((F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / f"chunk_{c}"))
+        )
+        import shutil
+
+        for f_ in sorted(os.listdir(str(tmp_path / f"chunk_{c}"))):
+            if f_.endswith(".parquet"):
+                dst = os.path.join(src_dir, f"{c}_{f_}")
+                shutil.copy(str(tmp_path / f"chunk_{c}" / f_), dst)
+                stamp += 60
+                os.utime(dst, (stamp, stamp))
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, score double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        scored_stream(stream, cfg)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("drift_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["turn_idx"]: (r["thr"], r["is_anom"], r["is_drift"])
+        for r in spark.sql("SELECT * FROM drift_stream_out").collect()
+    }
+    assert got == batch
