@@ -912,6 +912,27 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos", 6).alias("cos"))
 
 
+def q_salted_agg_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted sum/count (decomposable-aggregate variant of
+    salted_counts) — result provably equals the plain groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = agg_ops.salted_agg(
+        li, ["l_returnflag"], ["l_quantity"], salt_col="l_orderkey", buckets=16
+    )
+    return out.select(
+        "l_returnflag", "n", F.round("sum_l_quantity", 2).alias("sum_qty")
+    )
+
+
+def q_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level exact dedup: the surviving (min doc_id per identical
+    text) rows themselves, not just group counts."""
+    from log_project_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.dedup_exact(docs, "text", "doc_id").select("doc_id")
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data-pipeline composition, end to end: fingerprint
     exact-dedup (keep min doc_id) -> simhash60 near-dup removal (drop
@@ -1011,6 +1032,8 @@ _EXTRA_QUERIES = {
     "exact_percentiles_global": q_exact_percentiles_global,
     "ivf_topk": q_ivf_topk,
     "corpus_curation": q_corpus_curation,
+    "salted_agg_sums": q_salted_agg_sums,
+    "dedup_keep_min": q_dedup_keep_min,
     "srp_buckets": q_srp_buckets,
     "simhash60": q_simhash60,
     "simhash_near_pairs": q_simhash_near_pairs,
@@ -1210,6 +1233,17 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["exact_percentiles_global"] = _PCTL_GLOBAL_SQL
     out["ivf_topk"] = _ivf_topk_sql()
     out["corpus_curation"] = _corpus_curation_sql()
+    out["salted_agg_sums"] = """
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag
+    """
+    out["dedup_keep_min"] = """
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn = 1
+    """
     out["simhash60"] = _simhash_sql()
     out["simhash_near_pairs"] = _simhash_pairs_sql()
     out["lsh_candidate_pairs"] = _lsh_pairs_sql()
