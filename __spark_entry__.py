@@ -450,7 +450,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship_route(spark, SF_DEFAULT)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_norm_documents": q_parse_norm_documents,
         "parse_pandas_udf": q_parse_pandas_udf,
@@ -486,7 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def _core_oracles() -> dict[str, str]:
     doc_toks = _DUCK_TOKENS.format(col="text")
     ev_text = "concat_ws(' ', event_type, props, CAST(user_id AS VARCHAR))"
     ev_toks = _DUCK_TOKENS.format(col=ev_text)
@@ -1043,15 +1043,6 @@ _EXTRA_QUERIES = {
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
 }
 
-_BASE_QUERIES = queries
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    out = dict(_BASE_QUERIES())
-    out.update(_EXTRA_QUERIES)
-    return out
-
-
 _DUCK_WORD_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
 
 
@@ -1223,11 +1214,37 @@ def _ivf_topk_sql(n_probe: int = 2, k: int = 10) -> str:
     """
 
 
-_BASE_ORACLES = oracle_sql
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact verification path) —
+    oracle-checked against the same formula in DuckDB."""
+    from log_project_spark.operators import dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups(emb, threshold=0.35, exact=True)
 
 
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = dict(_BASE_ORACLES())
+_EXTRA_QUERIES["embedding_near_dups"] = q_embedding_near_dups
+
+_EMB_DUPS_SQL = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out = dict(_core_queries())
+    out.update(_EXTRA_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out = dict(_core_oracles())
+    out["embedding_near_dups"] = _EMB_DUPS_SQL
     out["ivf_assign"] = _ivf_sql()
     out["srp_buckets"] = _srp_sql()
     out["exact_percentiles_global"] = _PCTL_GLOBAL_SQL
@@ -1252,31 +1269,3 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     return out
 
 
-def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact verification path) —
-    oracle-checked against the same formula in DuckDB."""
-    from log_project_spark.operators import dedup
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dups(emb, threshold=0.35, exact=True)
-
-
-_EXTRA_QUERIES["embedding_near_dups"] = q_embedding_near_dups
-
-_EMB_DUPS_SQL = """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_dot_product(a.v, b.v)
-                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-      FROM e a JOIN e b ON a.vec_id < b.vec_id)
-    SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35
-"""
-
-_BASE_ORACLES2 = oracle_sql
-
-
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = dict(_BASE_ORACLES2())
-    out["embedding_near_dups"] = _EMB_DUPS_SQL
-    return out

@@ -70,6 +70,28 @@ def test_exact_percentile_distributed_plan_is_jvm_only(spark, samples):
         assert marker not in plan
 
 
+def test_exact_percentile_distributed_randomized(spark):
+    """Seeded sweep: duplicates, negatives, ties, tiny inputs, and
+    partition counts exceeding the row count — always the oracle's
+    lower-index pick."""
+    rng = random.Random(7)
+    cases = [
+        [rng.choice([-5.0, 0.0, 1.5, 1.5, 2.0]) for _ in range(n)]
+        for n in (1, 2, 7, 40)
+    ] + [
+        [rng.gauss(0, 100) for _ in range(n)] for n in (13, 257)
+    ]
+    for idx, vals in enumerate(cases):
+        df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(
+            rng.choice([1, 3, 16])
+        )
+        got = agg.exact_percentile_distributed(
+            df, "v", [0.0, 37.0, 95.0, 100.0], num_partitions=rng.choice([2, 8, 64])
+        )
+        for p in (0.0, 37.0, 95.0, 100.0):
+            assert got[p] == oracle.exact_percentile(vals, p), (idx, p)
+
+
 def test_percentile_differs_from_interpolating(spark, samples):
     """Guard: Spark's built-in percentile interpolates and would NOT
     match the reference formula on this data."""
