@@ -912,6 +912,55 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos", 6).alias("cos"))
 
 
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the simhash near-pair graph
+    (iterative min-label propagation in Spark; transitive-closure
+    recursive CTE in DuckDB): (id, component=min reachable id) for
+    every doc in a near-dup cluster."""
+    from log_project_spark.operators import dedup
+
+    toked = _doc_word_tokens(spark, sf_dir).withColumnRenamed("toks", "tokens")
+    sig = dedup.simhash60(toked.select("doc_id", "tokens"))
+    pairs = dedup.hamming_near_pairs(sig, max_hamming=3)
+    return dedup.connected_components(pairs)
+
+
+def _components_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
+    sums, sig_expr = _simhash_fragments()
+    width = 60 // n_bands
+    mask = (1 << width) - 1
+    bands = "\n          UNION ALL\n".join(
+        f"          SELECT doc_id, simhash, {b} AS band,"
+        f" (simhash >> {width * b}) & {mask} AS bucket FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH RECURSIVE
+        toked AS (SELECT doc_id, {_DUCK_WORD_TOKS} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM toked),
+        h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+        bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+        sig0 AS (SELECT doc_id, CAST({sig_expr} AS BIGINT) AS simhash FROM bits),
+        sig AS (SELECT t.doc_id, coalesce(s.simhash, 0) AS simhash
+                FROM toked t LEFT JOIN sig0 s USING (doc_id)),
+        bands AS (
+{bands}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}),
+        sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+        SELECT src AS id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
+    """
+
+
 def q_salted_agg_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted sum/count (decomposable-aggregate variant of
     salted_counts) — result provably equals the plain groupBy."""
@@ -1034,6 +1083,7 @@ _EXTRA_QUERIES = {
     "corpus_curation": q_corpus_curation,
     "salted_agg_sums": q_salted_agg_sums,
     "dedup_keep_min": q_dedup_keep_min,
+    "near_dup_components": q_near_dup_components,
     "srp_buckets": q_srp_buckets,
     "simhash60": q_simhash60,
     "simhash_near_pairs": q_simhash_near_pairs,
@@ -1266,6 +1316,7 @@ def oracle_sql() -> dict[str, str]:
     out["lsh_candidate_pairs"] = _lsh_pairs_sql()
     out["jaccard_pairs_capped"] = _jaccard_capped_sql()
     out["embedding_near_dups_lsh"] = _emb_lsh_sql()
+    out["near_dup_components"] = _components_sql()
     return out
 
 

@@ -248,6 +248,72 @@ def hamming_near_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph (the
+    keep-one-representative step after near-dup candidate generation):
+    returns (id, component) for every node in `pairs`, component = the
+    MINIMUM id reachable through the pair graph.
+
+    Iterative min-label propagation: each round joins current labels
+    across symmetric edges, takes the elementwise min, and stops when
+    no label changed — O(component diameter) rounds of shuffle-on-id
+    joins (near-dup clusters are shallow, so typically 2-4). This is
+    the standard distributed large-star/small-star simplification for
+    bounded-diameter graphs; no driver-side graph state, scales with
+    the edge list."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("comp"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def dedup_near(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative per near-dup cluster: drop every row
+    whose id belongs to a component but is not its minimum."""
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # exact Jaccard with a document-frequency cap
 # ---------------------------------------------------------------------------

@@ -287,3 +287,18 @@ def test_hamming_band_completeness_random(spark):
         if h <= 5:
             want[(i, j)] = h
     assert got == want
+
+
+def test_connected_components_and_dedup_near(spark):
+    """Min-label propagation: transitive chains collapse to the min id;
+    dedup_near keeps exactly one representative per cluster."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 7, 10, 11, 99)], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in dedup.dedup_near(docs, pairs).collect())
+    assert kept == [1, 10, 99]  # cluster reps + untouched rows
