@@ -984,10 +984,11 @@ def q_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data-pipeline composition, end to end: fingerprint
-    exact-dedup (keep min doc_id) -> simhash60 near-dup removal (drop
-    the higher id of every pair at hamming <= 3) -> heuristic quality
-    gate. Returns the surviving (doc_id, quality) rows. Every stage is
-    the library operator the individual gates already check."""
+    exact-dedup (keep min doc_id) -> simhash60 near-dup clustering
+    (connected components at hamming <= 3, keep each cluster's min id)
+    -> heuristic quality gate. Returns the surviving (doc_id, quality)
+    rows. Every stage is the library operator the individual gates
+    already check."""
     from pyspark.sql import Window
 
     from log_project_spark.operators import dedup
@@ -1004,8 +1005,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = exact.withColumn("tokens", dedup.word_tokens(F.col("text")))
     sig = dedup.simhash60(toked.select("doc_id", "tokens"))
     pairs = dedup.hamming_near_pairs(sig, max_hamming=3)
-    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    survivors = exact.join(drop, "doc_id", "left_anti")
+    survivors = dedup.dedup_near(exact, pairs)
     scored = ta.with_quality_score(survivors)
     return scored.where(F.col("quality") >= 0.2).select("doc_id", "quality")
 
@@ -1021,7 +1021,7 @@ def _corpus_curation_sql(max_hamming: int = 3, n_bands: int = 4, min_q: float = 
     )
     stop = "['the','a','of','and','to','in','is','it','that','for']"
     return f"""
-        WITH norm0 AS (
+        WITH RECURSIVE norm0 AS (
           SELECT doc_id, text,
                  array_to_string({_DUCK_WORD_TOKS}, ' ') AS norm
           FROM documents),
@@ -1045,7 +1045,15 @@ def _corpus_curation_sql(max_hamming: int = 3, n_bands: int = 4, min_q: float = 
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}),
-        dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+        sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        dropped AS (
+          SELECT src AS doc_id FROM reach
+          GROUP BY src HAVING least(src, min(dst)) != src),
         surv AS (
           SELECT e.doc_id, e.text, e.norm FROM exact e
           LEFT JOIN dropped d USING (doc_id) WHERE d.doc_id IS NULL),
