@@ -63,8 +63,10 @@ HEADLINE = [
     "quality_score",
     "iforest_scores",
     "salted_counts",
-    "corpus_curation",
 ]
+# corpus_curation and near_dup_components are iterative multi-action
+# queries covered by the correctness gate; they would distort the
+# sum-of-single-plan-walls headline metric.
 
 # generation/pipeline profiles for the two scaling variants
 MAIN_PROFILE = dict(

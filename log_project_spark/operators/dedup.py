@@ -259,45 +259,74 @@ def connected_components(
     returns (id, component) for every node in `pairs`, component = the
     MINIMUM id reachable through the pair graph.
 
-    Iterative min-label propagation: each round joins current labels
-    across symmetric edges, takes the elementwise min, and stops when
-    no label changed — O(component diameter) rounds of shuffle-on-id
-    joins (near-dup clusters are shallow, so typically 2-4). This is
-    the standard distributed large-star/small-star simplification for
-    bounded-diameter graphs; no driver-side graph state, scales with
+    Iterative min-label propagation WITH path compression: each round
+    (a) takes the min label across symmetric edges, then (b) replaces
+    every label by its label's label (pointer doubling), so chains of
+    length d collapse in O(log d) rounds, not O(d). The (possibly
+    expensive) upstream pair plan is materialized ONCE — the edge list
+    is persisted before the loop, and each round's actions touch only
+    cached label/edge frames. No driver-side graph state; scales with
     the edge list."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    nodes = sym.select(F.col("src").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("comp"))
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
-            .withColumnRenamed("src", "id")
-        )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
+    sym = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    sym.count()  # materialize: upstream candidate generation runs once
+    labels = sym.select(F.col("src").alias("id")).distinct()
+    labels = labels.select("id", F.col("id").alias("comp")).persist()
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(labels, sym.src == labels.id)
+                .groupBy("dst")
+                .agg(F.min("comp").alias("nbr_comp"))
+                .withColumnRenamed("dst", "id")
+            )
+            stepped = labels.join(nbr_min, "id", "left").select(
                 "id",
                 F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
                     "comp"
                 ),
             )
-        )
-        new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(F.col("id"), F.col("comp").alias("component"))
+            # path compression: comp <- comp's own (stepped) label
+            compressed = (
+                stepped.alias("a")
+                .join(
+                    stepped.select(
+                        F.col("id").alias("cid"), F.col("comp").alias("ccomp")
+                    ).alias("b"),
+                    F.col("a.comp") == F.col("b.cid"),
+                    "left",
+                )
+                .select(
+                    F.col("a.id").alias("id"),
+                    F.least(
+                        F.col("a.comp"), F.coalesce(F.col("b.ccomp"), F.col("a.comp"))
+                    ).alias("comp"),
+                )
+            )
+            # localCheckpoint TRUNCATES the logical plan: the stepped
+            # self-join doubles the plan per round, and with persist
+            # alone Catalyst re-optimizes the exponentially growing
+            # lineage each iteration (measured 11s -> 32s -> 200s per
+            # round at a 1024-edge graph). On a real cluster prefer
+            # reliable checkpoint() for executor-loss tolerance.
+            new_labels = compressed.localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("id"), F.col("comp").alias("component"))
+    finally:
+        sym.unpersist()
 
 
 def dedup_near(
