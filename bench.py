@@ -279,12 +279,15 @@ def run_scaling(rows: int, profile: dict, tag: str) -> dict:
 
 
 def _prev_bench_queries() -> tuple[str, dict] | None:
-    """Latest BENCH_r*.json at the repo root (driver-recorded)."""
-    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
-    for path in reversed(paths):
+    """Latest BENCH_r*.json at the repo root (driver-recorded).
+    Sorted numerically on the round number — lexicographic sort would
+    put BENCH_r10 before BENCH_r2."""
+    numbered = []
+    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m:
-            continue
+        if m:
+            numbered.append((int(m.group(1)), path))
+    for _, path in sorted(numbered, reverse=True):
         try:
             with open(path) as f:
                 data = json.load(f)

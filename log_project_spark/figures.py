@@ -80,7 +80,10 @@ def render_bar_svg(
     ml, mr, mt, mb = 90, 20, 30, 70
     plot_w, plot_h = slot * n, 340
     width, height = ml + plot_w + mr, mt + plot_h + mb
-    ymax = max(values) * 1.15
+    # clamp to a positive floor so an all-zero series renders a flat
+    # chart instead of dividing by zero in sy() (matplotlib's ylim
+    # handles the all-zero case gracefully; so do we)
+    ymax = max(max(values), 1e-9) * 1.15
     ticks = _nice_ticks(max(values))
 
     def sy(v: float) -> float:  # value -> y pixel

@@ -59,47 +59,89 @@ def exact_percentile_distributed(
     if num_partitions is None:
         num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     vals = df.where(F.col(col).isNotNull()).select(F.col(col).cast("double").alias("__v__"))
-    arranged = (
-        vals.repartitionByRange(num_partitions, "__v__")
-        .sortWithinPartitions("__v__")
-        .select("__v__", F.monotonically_increasing_id().alias("__mid__"))
-        .select(
-            "__v__",
-            F.shiftrightunsigned("__mid__", 33).alias("__pid__"),
-            F.col("__mid__").bitwiseAND(F.lit((1 << 33) - 1)).alias("__lrn__"),
+
+    def pick(persist_arranged: bool) -> dict[float, float] | None:
+        """Run the range-arrange + offset-join plan and pick the
+        targets; None when the picked rows are internally inconsistent
+        (every target k must be present and all rows must agree on n).
+        persist_arranged=True materializes the narrow (v, pid, lrn)
+        projection so both consumers read identical data regardless of
+        exchange reuse."""
+        arranged = (
+            vals.repartitionByRange(num_partitions, "__v__")
+            .sortWithinPartitions("__v__")
+            .select("__v__", F.monotonically_increasing_id().alias("__mid__"))
+            .select(
+                "__v__",
+                F.shiftrightunsigned("__mid__", 33).alias("__pid__"),
+                F.col("__mid__").bitwiseAND(F.lit((1 << 33) - 1)).alias("__lrn__"),
+            )
         )
-    )
-    pc = arranged.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__cnt__"))
-    w_cum = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
-    w_tot = Window.orderBy("__pid__").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offsets = pc.select(
-        "__pid__",
-        F.coalesce(F.sum("__cnt__").over(w_cum), F.lit(0)).alias("__off__"),
-        F.sum("__cnt__").over(w_tot).alias("__n__"),
-    )
-    joined = arranged.join(F.broadcast(offsets), "__pid__").withColumn(
-        "__gidx__", F.col("__off__") + F.col("__lrn__")
-    )
-    n_col = F.col("__n__")
+        if persist_arranged:
+            arranged = arranged.persist()
+            arranged.count()  # snapshot before either branch reads it
+        pc = arranged.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__cnt__"))
+        w_cum = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+        w_tot = Window.orderBy("__pid__").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offsets = pc.select(
+            "__pid__",
+            F.coalesce(F.sum("__cnt__").over(w_cum), F.lit(0)).alias("__off__"),
+            F.sum("__cnt__").over(w_tot).alias("__n__"),
+        )
+        joined = arranged.join(F.broadcast(offsets), "__pid__").withColumn(
+            "__gidx__", F.col("__off__") + F.col("__lrn__")
+        )
+        n_col = F.col("__n__")
 
-    def k_expr(p: float):
-        k = F.floor(F.lit(p / 100.0) * (n_col - F.lit(1)).cast("double")).cast("long")
-        return F.greatest(F.lit(0).cast("long"), F.least(k, n_col - F.lit(1)))
+        def k_expr(p: float):
+            k = F.floor(F.lit(p / 100.0) * (n_col - F.lit(1)).cast("double")).cast("long")
+            return F.greatest(F.lit(0).cast("long"), F.least(k, n_col - F.lit(1)))
 
-    cond = F.lit(False)
-    for p in ps:
-        cond = cond | (F.col("__gidx__") == k_expr(p))
-    rows = joined.where(cond).select("__v__", "__gidx__", "__n__").collect()
-    if not rows:
+        cond = F.lit(False)
+        for p in ps:
+            cond = cond | (F.col("__gidx__") == k_expr(p))
+        try:
+            rows = joined.where(cond).select("__v__", "__gidx__", "__n__").collect()
+        finally:
+            if persist_arranged:
+                arranged.unpersist()
+        if not rows:
+            return None
+        ns = {int(r["__n__"]) for r in rows}
+        if len(ns) != 1:
+            return None
+        n = ns.pop()
+        by_idx = {int(r["__gidx__"]): float(r["__v__"]) for r in rows}
+        out = {}
+        for p in ps:
+            k = min(max(int((p / 100.0) * (n - 1)), 0), n - 1)
+            if k not in by_idx:
+                return None
+            out[p] = by_idx[k]
+        return out
+
+    # Fast path: `arranged` feeds both the offset aggregate and the
+    # main join from ONE range exchange only because Catalyst dedupes
+    # the two branches as a ReusedExchange (asserted in PLANS.md §
+    # exact_percentiles). monotonically_increasing_id + range sampling
+    # are nondeterministic, so if a plan change ever splits the
+    # exchange, the branches would sample different boundaries and the
+    # picked indexes go missing/inconsistent — `pick` detects that
+    # (ADVICE r2) and we re-run with the narrow arranged projection
+    # persisted, which is reuse-independent by construction.
+    out = pick(persist_arranged=False)
+    if out is not None:
+        return out
+    if vals.isEmpty():
         return {p: float("nan") for p in ps}
-    n = int(rows[0]["__n__"])
-    by_idx = {int(r["__gidx__"]): float(r["__v__"]) for r in rows}
-    out = {}
-    for p in ps:
-        k = min(max(int((p / 100.0) * (n - 1)), 0), n - 1)
-        out[p] = by_idx[k]
+    out = pick(persist_arranged=True)
+    if out is None:
+        raise AssertionError(
+            "exact_percentile_distributed: inconsistent index/offset rows "
+            "even from a persisted arrangement — plan invariant broken"
+        )
     return out
 
 

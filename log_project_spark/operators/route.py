@@ -43,10 +43,12 @@ def write_fanout(
     mode: str = "overwrite",
 ) -> dict[str, str]:
     """Single-pass fan-out: one write partitioned by (sink,
-    *partition_by). Returns sink -> path; a sink that received no rows
-    has no directory (callers read the root, or try/except per-sink
-    paths). Each task fans its rows into its local sink/dt files
-    directly — no cache, no per-sink rescan."""
+    *partition_by). Returns sink -> path for the sinks that actually
+    received rows — a sink with no rows produces no directory, and
+    handing a consumer a nonexistent path would fail its read with
+    PATH_NOT_FOUND. Each task fans its rows into its local sink/dt
+    files directly — no cache, no per-sink rescan; the existence check
+    is one driver-side FileSystem.exists per sink (3 RPCs)."""
     routed = with_sink(scored)
     if "dt" not in routed.columns and "ts" in routed.columns:
         routed = routed.withColumn("dt", F.to_date("ts"))
@@ -57,7 +59,15 @@ def write_fanout(
         .format(file_format)
         .save(out_dir)
     )
-    return {sink: f"{out_dir}/sink={sink}" for sink in SINKS}
+    sc = scored.sparkSession.sparkContext
+    hadoop_path = sc._jvm.org.apache.hadoop.fs.Path
+    fs = hadoop_path(out_dir).getFileSystem(sc._jsc.hadoopConfiguration())
+    out = {}
+    for sink in SINKS:
+        path = f"{out_dir}/sink={sink}"
+        if fs.exists(hadoop_path(path)):
+            out[sink] = path
+    return out
 
 
 def sink_counts(scored: DataFrame) -> DataFrame:

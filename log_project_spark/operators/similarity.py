@@ -140,6 +140,29 @@ def srp_band_buckets_pandas(
     return df.withColumn(out_col, bands_udf(F.col(vec_col)))
 
 
+def srp_bucket_col(
+    df: DataFrame,
+    vec_col: str,
+    planes: list[list[float]],
+    impl: str = "pandas",
+    out_col: str = "__bucket__",
+) -> DataFrame:
+    """Full-width SRP bucket id (bit i = sign of plane i) appended as a
+    column. impl='pandas' packs the bits from ONE BLAS matmul per Arrow
+    batch (srp_band_buckets_pandas with a single band — the scale
+    path); impl='expr' is the sequential Catalyst fold (n_planes
+    interpreted aggregate/zip_with lambdas PER ROW — keep it for the
+    DuckDB-oracle parity query only, CLAUDE.md bans HOF lambdas from
+    hot paths). Both pack bit i from plane i, so the ids agree (up to
+    float-sum ordering on |dot| ~ 1e-13 knife-edges)."""
+    if impl == "expr":
+        return df.withColumn(out_col, srp_bucket(F.col(vec_col), planes))
+    banded = srp_band_buckets_pandas(
+        df, vec_col, planes, n_bands=1, band_bits=len(planes), out_col="__bands1__"
+    )
+    return banded.withColumn(out_col, F.element_at("__bands1__", 1)).drop("__bands1__")
+
+
 def topk_cosine_lsh(
     df: DataFrame,
     query: list[float],
@@ -149,11 +172,18 @@ def topk_cosine_lsh(
     n_planes: int = 6,
     seed: int = 20250819,
     probe_hamming: int = 1,
+    bucket_impl: str = "pandas",
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose SRP bucket is within
     `probe_hamming` bits of the query's bucket (multi-probe). At scale
     the bucket filter prunes the scan to ~(probes/2^p) of the data;
-    with a bucket-partitioned table it becomes partition pruning."""
+    with a bucket-partitioned table it becomes partition pruning.
+
+    Bucket assignment defaults to the Arrow/BLAS path (VERDICT r2 #2:
+    the per-element Catalyst fold evaluates n_planes interpreted
+    lambdas per row; measured 5.0x slower at 1M x 64, best-of-3
+    interleaved — BENCH/ann_probe_micro.json). bucket_impl='expr'
+    keeps the fold for oracle parity checks."""
     dim = len(query)
     planes = make_planes(dim, n_planes, seed)
     qbits = 0
@@ -164,9 +194,9 @@ def topk_cosine_lsh(
     if probe_hamming >= 1:
         for i in range(n_planes):
             probe_buckets.add(qbits ^ (1 << i))
-    bucketed = df.withColumn("__bucket__", srp_bucket(F.col(vec_col), planes))
+    bucketed = srp_bucket_col(df, vec_col, planes, impl=bucket_impl)
     cand = bucketed.where(F.col("__bucket__").isin(*[int(b) for b in probe_buckets]))
-    return topk_cosine(cand, query, k, id_col, vec_col)
+    return topk_cosine(cand.drop("__bucket__"), query, k, id_col, vec_col)
 
 
 def ivf_assign(

@@ -70,6 +70,29 @@ def test_exact_percentile_distributed_plan_is_jvm_only(spark, samples):
         assert marker not in plan
 
 
+def test_exact_percentile_distributed_reuses_range_exchange(spark, samples):
+    """ADVICE r2: the offset aggregate and the main join must read the
+    SAME nondeterministic range exchange — the executed (AQE-final)
+    plan must show a ReusedExchange, else the two branches could sample
+    different range boundaries. The runtime pick() validity check is
+    the belt; this is the suspenders."""
+    df = spark.createDataFrame([(s,) for s in samples], "v double").repartition(8)
+    captured = {}
+    orig = type(df).collect
+
+    def spy(self):
+        rows = orig(self)
+        captured["plan"] = self._jdf.queryExecution().executedPlan().toString()
+        return rows
+
+    type(df).collect = spy
+    try:
+        agg.exact_percentile_distributed(df, "v", [95.0])
+    finally:
+        type(df).collect = orig
+    assert "ReusedExchange" in captured["plan"], captured["plan"]
+
+
 def test_exact_percentile_distributed_randomized(spark):
     """Seeded sweep: duplicates, negatives, ties, tiny inputs, and
     partition counts exceeding the row count — always the oracle's

@@ -302,3 +302,54 @@ def test_connected_components_and_dedup_near(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup.dedup_near(docs, pairs).collect())
     assert kept == [1, 10, 99]  # cluster reps + untouched rows
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """VERDICT r2 #3: the reliable checkpoint() path (executor-loss
+    tolerant on a real cluster) must converge to identical components
+    as the localCheckpoint default — and must refuse to run without a
+    checkpoint dir."""
+    # transitive chain + a separate cluster, same fixture family as above
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)] + [(20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    if spark.sparkContext._jsc.sc().checkpointDir().isEmpty():
+        with pytest.raises(ValueError, match="checkpoint dir"):
+            dedup.connected_components(pairs, reliable_checkpoint=True).collect()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    local = {
+        r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()
+    }
+    reliable = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs, reliable_checkpoint=True).collect()
+    }
+    assert local == reliable
+    assert reliable == {**{i: 1 for i in range(1, 10)}, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    """A silent partial labeling would dedup the wrong rows: exhausting
+    max_iter with labels still moving must raise, not return."""
+    # a 14-node chain cannot converge in one round even with doubling
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 14)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
+
+
+def test_jaccard_hot_items_lazy_audit(spark, docs_df):
+    """VERDICT r2 #4: the dropped-item audit is its own LAZY frame
+    (jaccard_pairs never hides a count() job); it lists exactly the
+    items whose distinct-doc frequency exceeds the cap."""
+    got = {
+        r["item"]: r["__df__"]
+        for r in dedup.jaccard_hot_items(docs_df, max_item_df=2).collect()
+    }
+    from collections import Counter
+
+    df_counts = Counter(tok for s in _token_sets().values() for tok in s)
+    want = {item: n for item, n in df_counts.items() if n > 2}
+    assert got == want
