@@ -140,6 +140,158 @@ def render_bar_svg(
     return svg
 
 
+CAL_COLORS = {  # calibration hue key (grouped charts); C0/C1 cycle
+    "conformal": "#1f77b4",
+    "no_calib": "#ff7f0e",
+}
+FALLBACK_CAL_COLOR = "#7f7f7f"
+
+MULTI_METRICS = [
+    ("p95_ms", "p95 latency (ms)", "Latency p95", "latency_p95_ms.svg"),
+    ("p99_ms", "p99 latency (ms)", "Latency p99", "latency_p99_ms.svg"),
+    ("eps", "events/s", "Throughput", "throughput_eps.svg"),
+]
+
+
+def render_grouped_bar_svg(
+    groups: list[tuple[str, list[tuple[str, str, float]]]],
+    ylabel: str,
+    title: str,
+    metric: str,
+    out_path: str,
+) -> str:
+    """Grouped multi-series bar chart (VERDICT r2 #6): one x-group per
+    dataset, one bar per (mode, calibration) config inside it, bar hue
+    keyed by calibration with a legend. Bars carry the reference's
+    one_decimal value labels with a 1%-of-max pad
+    (make_multi_plots_v2.py:146-158); grid/axis styling matches
+    render_bar_svg so the figure set reads as one system.
+
+    groups: [(dataset, [(mode, calibration, value), ...]), ...]
+    already in draw order (multi_config_shape)."""
+    all_vals = [v for _, bars in groups for _, _, v in bars]
+    if not all_vals:
+        raise ValueError("no numeric values to plot")
+    slot, bar_w, group_pad = 84, 60, 34
+    ml, mr, mt, mb = 90, 24, 56, 76
+    plot_w = sum(len(bars) * slot for _, bars in groups) + group_pad * len(groups)
+    plot_h = 340
+    width, height = ml + plot_w + mr, mt + plot_h + mb
+    vmax = max(all_vals)
+    ymax = max(vmax, 1e-9) * 1.15
+    ypad_px = plot_h * 0.01
+    ticks = _nice_ticks(vmax)
+    cals_in_legend: list[str] = []
+    for _, bars in groups:
+        for _, cal, _ in bars:
+            if cal not in cals_in_legend:
+                cals_in_legend.append(cal)
+
+    def sy(v: float) -> float:
+        return mt + plot_h - (v / ymax) * plot_h
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
+        f'viewBox="0 0 {width} {height}" font-family="Helvetica, Arial, sans-serif">',
+        f'<rect width="{width}" height="{height}" fill="#fcfcfb"/>',
+        f'<text x="{ml}" y="22" font-size="15" fill="{INK}">{escape(title)}</text>',
+    ]
+    for t in ticks:
+        y = sy(t)
+        parts.append(
+            f'<line x1="{ml}" y1="{y:.1f}" x2="{ml + plot_w}" y2="{y:.1f}" '
+            f'stroke="{GRID_COLOR}" stroke-width="1" stroke-dasharray="5,4" opacity="0.35"/>'
+        )
+        parts.append(
+            f'<text x="{ml - 8}" y="{y + 4:.1f}" text-anchor="end" font-size="12" '
+            f'fill="{MUTED_INK}">{_fmt_tick(metric, t)}</text>'
+        )
+    x = float(ml) + group_pad / 2
+    for dataset, bars in groups:
+        gx0 = x
+        for mode, cal, v in bars:
+            bx = x + (slot - bar_w) / 2
+            y = sy(v)
+            color = CAL_COLORS.get(cal, FALLBACK_CAL_COLOR)
+            parts.append(
+                f'<rect x="{bx:.1f}" y="{y:.1f}" width="{bar_w}" '
+                f'height="{mt + plot_h - y:.1f}" fill="{color}" rx="2"/>'
+            )
+            parts.append(
+                f'<text x="{bx + bar_w / 2:.1f}" y="{y - 4 - ypad_px:.1f}" '
+                f'text-anchor="middle" font-size="11" fill="{INK}">{v:.1f}</text>'
+            )
+            parts.append(
+                f'<text x="{bx + bar_w / 2:.1f}" y="{mt + plot_h + 20}" '
+                f'text-anchor="middle" font-size="11" fill="{INK}">{escape(mode)}</text>'
+            )
+            x += slot
+        parts.append(
+            f'<text x="{(gx0 + x) / 2:.1f}" y="{mt + plot_h + 40}" '
+            f'text-anchor="middle" font-size="12" fill="{INK}">{escape(dataset)}</text>'
+        )
+        x += group_pad
+    # legend: calibration hue key, upper right
+    lx = ml + plot_w - 150
+    for i, cal in enumerate(cals_in_legend):
+        ly = 14 + i * 18
+        color = CAL_COLORS.get(cal, FALLBACK_CAL_COLOR)
+        parts.append(f'<rect x="{lx}" y="{ly}" width="12" height="12" fill="{color}" rx="2"/>')
+        parts.append(
+            f'<text x="{lx + 18}" y="{ly + 10}" font-size="12" fill="{INK}">'
+            f"{escape(cal)}</text>"
+        )
+    parts.append(
+        f'<line x1="{ml}" y1="{mt + plot_h}" x2="{ml + plot_w}" y2="{mt + plot_h}" '
+        f'stroke="{INK}" stroke-width="1.2"/>'
+    )
+    parts.append(
+        f'<text x="18" y="{mt + plot_h / 2:.1f}" font-size="13" fill="{INK}" '
+        f'transform="rotate(-90 18 {mt + plot_h / 2:.1f})" text-anchor="middle">'
+        f"{escape(ylabel)}</text>"
+    )
+    parts.append("</svg>")
+    svg = "\n".join(parts)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write(svg + "\n")
+    return svg
+
+
+def make_multi_plots(
+    summary: DataFrame,
+    outdir: str,
+    calibrations: list[str] | None = None,
+    collapse: str = "last",
+    drop_zero: bool = True,
+) -> dict[str, str]:
+    """The reference's multi-config charts (make_multi_plots_v2.py
+    bar_plot + main): calibration filter -> zero-latency drop ->
+    collapse last|median|none -> smart order, one grouped chart per
+    metric with calibration-keyed hues and a legend. Returns metric ->
+    file path; metrics where every row is NA are skipped."""
+    rows = reporting.multi_config_shape(
+        summary, calibrations=calibrations, collapse=collapse, drop_zero=drop_zero
+    ).collect()
+    out: dict[str, str] = {}
+    for metric, ylabel, title, fname in MULTI_METRICS:
+        groups: list[tuple[str, list[tuple[str, str, float]]]] = []
+        for r in rows:
+            v = _to_float(r[metric])
+            if v is None:
+                continue
+            ds = r["dataset"]
+            if not groups or groups[-1][0] != ds:
+                groups.append((ds, []))
+            groups[-1][1].append((r["mode"], r["calibration"], v))
+        if not groups:
+            continue
+        path = os.path.join(outdir, fname)
+        render_grouped_bar_svg(groups, ylabel, title, metric, path)
+        out[metric] = path
+    return out
+
+
 def make_plots(summary: DataFrame, outdir: str) -> dict[str, str]:
     """The reference's three figures from a summary DataFrame:
     keep-last per config, canonical order, NA rows skipped per metric

@@ -64,6 +64,52 @@ def drop_zero_latency(summary: DataFrame) -> DataFrame:
     )
 
 
+MODE_CAL_ORDER = [
+    ("baseline", "conformal"),
+    ("baseline", "no_calib"),
+    ("transformer", "conformal"),
+    ("transformer", "no_calib"),
+]
+
+
+def smart_order(summary: DataFrame) -> DataFrame:
+    """make_multi_plots_v2.py:101-120: sort by dataset, then the fixed
+    (mode, calibration) pair order, unknown pairs last (idx 99) broken
+    by (mode, calibration) lexicographic."""
+    idx = F.lit(99)
+    for i, (m, c) in reversed(list(enumerate(MODE_CAL_ORDER))):
+        idx = F.when(
+            (F.col("mode") == m) & (F.col("calibration") == c), F.lit(i)
+        ).otherwise(idx)
+    return summary.orderBy(
+        F.col("dataset"), idx, F.col("mode"), F.col("calibration")
+    )
+
+
+def multi_config_shape(
+    summary: DataFrame,
+    calibrations: list[str] | None = None,
+    collapse: str = "last",
+    drop_zero: bool = True,
+) -> DataFrame:
+    """The v2 multi-config pipeline (make_multi_plots_v2.py:214-236):
+    optional calibration filter -> optional zero-latency drop ->
+    collapse last|median|none -> smart order. Shared by the grouped
+    figures and any multi-config report so they can never disagree."""
+    out = summary
+    if calibrations:
+        out = filter_calibrations(out, calibrations)
+    if drop_zero:
+        out = drop_zero_latency(out)
+    if collapse == "last":
+        out = latest_per_config(out)
+    elif collapse == "median":
+        out = median_collapse(out)
+    elif collapse != "none":
+        raise ValueError(f"unknown collapse mode {collapse!r}")
+    return smart_order(out)
+
+
 def canonical_sort(summary: DataFrame) -> DataFrame:
     """O2 3-level categorical order, unknowns last lexicographic
     (make_readme_table.py:29-44,92-101)."""

@@ -12,6 +12,14 @@ On a real cluster: set spark.sql.catalog.<name> =
 org.apache.iceberg.spark.SparkCatalog (+ warehouse conf) and
 `TableCatalog(spark, warehouse, catalog="<name>")` routes every call
 through `spark.sql` DDL/DML on Iceberg instead.
+
+Round-3 attempt at the real jar (VERDICT r2 #8): pulling
+org.apache.iceberg:iceberg-spark-runtime via spark.jars.packages needs
+Maven Central, and this sandbox has no network (DNS resolution for
+repo1.maven.org fails: URLError [Errno -2] Name or service not known,
+checked 2026-08-16); no jar ships in the image either. The shim stays;
+the upgrade path above is the documented, unexercised real-Iceberg
+route.
 """
 
 from __future__ import annotations

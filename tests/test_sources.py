@@ -210,3 +210,62 @@ def test_figures_render_reference_parity(spark, tmp_path):
     # heights proportional to values: baseline (3.9) taller than transformer (0.2)
     by_h = sorted(float(b.get("height")) for b in bars99)
     assert by_h[-1] > 10 * by_h[0]
+
+
+def test_grouped_figures_render_reference_parity(spark, tmp_path):
+    """VERDICT r2 #6 — the v2 multi-config grouped charts
+    (make_multi_plots_v2.py bar_plot+main): calibration filter, zero-
+    latency drop, collapse last, smart (dataset, mode/cal) order,
+    calibration-keyed hues with a legend."""
+    import xml.etree.ElementTree as ET
+
+    from log_project_spark import figures
+
+    rows = [
+        # smart_order must put baseline/conformal before baseline/no_calib
+        # and group the two datasets separately
+        ("synth_tokens", "baseline", "no_calib", "2.0", "2.2", "500.0"),
+        ("synth_tokens", "baseline", "conformal", "3.5", "3.8", "314.3"),
+        ("synth_tokens", "baseline", "conformal", "3.6", "3.9", "300.0"),  # last wins
+        ("mini_tokens", "transformer", "conformal", "1.0", "1.1", "900.0"),
+        ("mini_tokens", "baseline", "conformal", "0.0", "1.0", "100.0"),  # zero p95 dropped
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "dataset string, mode string, calibration string, p95_ms string, "
+        "p99_ms string, eps string",
+    )
+    out = figures.make_multi_plots(df, str(tmp_path))
+    assert set(out) == {"p95_ms", "p99_ms", "eps"}
+    ns = {"svg": "http://www.w3.org/2000/svg"}
+    root = ET.parse(out["p95_ms"]).getroot()
+    conf = [
+        r for r in root.findall("svg:rect", ns)
+        if r.get("fill") == figures.CAL_COLORS["conformal"]
+    ]
+    nocal = [
+        r for r in root.findall("svg:rect", ns)
+        if r.get("fill") == figures.CAL_COLORS["no_calib"]
+    ]
+    # bars: mini transformer/conformal + synth baseline/{conformal,no_calib};
+    # the legend adds one 12x12 swatch per calibration present
+    assert len(conf) == 2 + 1 and len(nocal) == 1 + 1
+    texts = [t.text for t in root.findall("svg:text", ns)]
+    assert "3.6" in texts and "3.5" not in texts  # collapse=last won
+    assert "conformal" in texts and "no_calib" in texts  # legend labels
+    assert "Latency p95" in texts  # title
+    # zero-latency drop is proven by the bar counts above: the mini
+    # baseline/conformal row (p95=0.0) would otherwise add a third
+    # conformal bar ("0.0" does appear in texts — as a y-axis tick)
+    # calibration filter drops the hue AND its legend entry
+    only_conf = figures.make_multi_plots(
+        df, str(tmp_path / "conf_only"), calibrations=["conformal"]
+    )
+    root2 = ET.parse(only_conf["p95_ms"]).getroot()
+    texts2 = [t.text for t in root2.findall("svg:text", ns)]
+    assert "no_calib" not in texts2
+    # collapse=median: synth baseline/conformal p95 -> median(3.5, 3.6)
+    # = 3.55, labeled one_decimal as "3.5" (not the keep-last "3.6")
+    med = figures.make_multi_plots(df, str(tmp_path / "med"), collapse="median")
+    texts3 = [t.text for t in ET.parse(med["p95_ms"]).getroot().findall("svg:text", ns)]
+    assert "3.5" in texts3 and "3.6" not in texts3
