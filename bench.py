@@ -3,9 +3,9 @@
 
   {"metric": "...", "value": <sec>, "unit": "sec", "queries": {...},
    "sf": ..., "pipeline": {...}, "scaling": {...}, "routed": {...},
-   "deltas_vs_prev": {...}}
+   "skew": {...}, "deltas_vs_prev": {...}}
 
-Three parts:
+Four parts:
 
 1. Headline operator queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
    (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
@@ -13,18 +13,26 @@ Three parts:
    (parse -> enrich -> score -> calibrate -> route counts) over a
    deterministic synthetic transcripts table, run at local[N] and
    local[4N] on IDENTICAL parquet input, reporting turns/sec at both
-   plus scaling efficiency eff = throughput_4N / (4 * throughput_N)
-   and per-sink aggregate-count equality across the two runs.
-   Each parallelism level runs in a FRESH subprocess (own JVM) with a
-   warm-up pass before the timed pass, so JIT state cannot leak
-   between the levels. (Sandbox stand-in for N vs 4N executors; see
-   BENCH/BASELINE.md.)
+   plus scaling efficiency and per-sink aggregate-count equality.
 3. The ROUTED variant (VERDICT r1 #8): 4096-turn conversations with a
    mid-conversation template shift (drift injection) and warmup=20, so
    the anomalous AND drifting sinks are non-empty; the timed pass
    WRITES the single-pass sink=.../dt=... fan-out and counts rows from
-   the files it wrote. Same two-parallelism protocol + cross-level
-   per-sink equality.
+   the files it wrote.
+4. The SKEW-STRESS leg (VERDICT r2 #7): 30% of all rows on ONE hot
+   conv_id; the job is parse -> salted two-phase per-conv aggregate
+   (the north-rule skew story), with per-stage task-time straggle
+   ratios captured from the Spark UI REST API.
+
+Interleaved scaling protocol (VERDICT r2 #1): both parallelism levels
+run as PERSISTENT child processes (own JVM each, warm-up pass before
+any timing), then the parent alternates timed passes big/small,
+big/small, ... for K pairs, so slow host drift hits both levels
+equally. Per level the reported turns/sec is the BEST wall across the
+K passes (host noise is strictly additive, so min wall is the clean
+estimate); scaling_efficiency = best_big / (4 * best_small), with
+per-pair efficiencies (min/median/max) reported alongside. All raw
+walls are in the JSON — BENCH/BASELINE.md quotes this capture only.
 
 Round-over-round: if BENCH_r*.json files exist at the repo root, the
 latest one's per-query timings are diffed into "deltas_vs_prev"
@@ -32,8 +40,10 @@ latest one's per-query timings are diffed into "deltas_vs_prev"
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 BENCH_PIPELINE_ROWS (default 16_000_000), BENCH_ROUTED_ROWS (default
-2_000_000), BENCH_SCALE_N (default 2), BENCH_SKIP_SCALING=1,
-BENCH_SKIP_ROUTED=1.
+8_000_000), BENCH_SKEW_ROWS (default 8_000_000), BENCH_SCALE_N
+(default 2), BENCH_PAIRS_MAIN (default 3), BENCH_PAIRS_ROUTED
+(default 5), BENCH_PAIRS_SKEW (default 2), BENCH_SKIP_SCALING=1,
+BENCH_SKIP_ROUTED=1, BENCH_SKIP_SKEW=1.
 """
 
 from __future__ import annotations
@@ -68,7 +78,7 @@ HEADLINE = [
 # queries covered by the correctness gate; they would distort the
 # sum-of-single-plan-walls headline metric.
 
-# generation/pipeline profiles for the two scaling variants
+# generation/pipeline profiles for the scaling variants
 MAIN_PROFILE = dict(
     conv_len=50, warmup=200, window=5000, drift_convs_mod=0, drift_from=0,
     hot_frac=0.10, n_hot_convs=4, write_sinks=False,
@@ -76,6 +86,14 @@ MAIN_PROFILE = dict(
 ROUTED_PROFILE = dict(
     conv_len=4096, warmup=20, window=200, drift_convs_mod=4, drift_from=2048,
     hot_frac=0.0, n_hot_convs=1, write_sinks=True,
+)
+# 30% of all rows on ONE conv_id; the job under test is the salted
+# two-phase per-conv aggregate (a plain groupBy(conv_id) would send
+# 30% of the table through one reducer task)
+SKEW_PROFILE = dict(
+    conv_len=50, warmup=200, window=5000, drift_convs_mod=0, drift_from=0,
+    hot_frac=0.30, n_hot_convs=1, write_sinks=False,
+    skew_agg=True, capture_stages=True,
 )
 
 
@@ -122,13 +140,64 @@ def _write_input(spark, rows: int, profile: dict, input_path: str) -> None:
     )
 
 
-def pipeline_child(cpus: int, rows: int, input_path: str, profile: dict) -> None:
-    """Child-process mode: warm-up pass + timed pass at one
-    parallelism level; prints one JSON line."""
+def _ui_completed_stages(ui_url: str) -> dict[tuple[int, int], int]:
+    """(stageId, attemptId) -> numCompleteTasks for completed stages,
+    via the Spark UI REST API (localhost)."""
+    import urllib.request
+
+    with urllib.request.urlopen(f"{ui_url}/api/v1/applications", timeout=10) as r:
+        apps = json.loads(r.read())
+    app_id = apps[0]["id"]
+    with urllib.request.urlopen(
+        f"{ui_url}/api/v1/applications/{app_id}/stages?status=complete", timeout=10
+    ) as r:
+        stages = json.loads(r.read())
+    return {
+        (s["stageId"], s["attemptId"]): s.get("numCompleteTasks", 0) for s in stages
+    }
+
+
+def _ui_straggle(ui_url: str, new_stages: dict, min_tasks: int = 8) -> dict:
+    """Worst max/median task-duration ratio among the given stages with
+    >= min_tasks tasks (tiny stages make the ratio meaningless)."""
+    import urllib.request
+
+    with urllib.request.urlopen(f"{ui_url}/api/v1/applications", timeout=10) as r:
+        app_id = json.loads(r.read())[0]["id"]
+    worst = {"ratio": 0.0, "stage": None, "median_ms": None, "max_ms": None}
+    for (sid, att), n_tasks in new_stages.items():
+        if n_tasks < min_tasks:
+            continue
+        url = (
+            f"{ui_url}/api/v1/applications/{app_id}/stages/{sid}/{att}/"
+            "taskSummary?quantiles=0.0,0.5,1.0"
+        )
+        try:
+            with urllib.request.urlopen(url, timeout=10) as r:
+                summ = json.loads(r.read())
+        except Exception:
+            continue
+        lo, med, hi = summ["duration"]
+        if med > 0 and hi / med > worst["ratio"]:
+            worst = {
+                "ratio": round(hi / med, 2),
+                "stage": sid,
+                "median_ms": med,
+                "max_ms": hi,
+                "n_tasks": n_tasks,
+            }
+    return worst
+
+
+def pipeline_server(cpus: int, rows: int, input_path: str, profile: dict) -> None:
+    """Persistent child: build the session, run one warm-up pass, then
+    answer PASS commands on stdin with one timed pass each (protocol
+    lines on stdout are prefixed @@; Spark chatter goes to stderr)."""
     from pyspark.sql import functions as F
 
     from log_project_spark import synth
     from log_project_spark.config import PipelineConfig
+    from log_project_spark.operators import aggregate as agg_ops
     from log_project_spark.operators import enrich as enrich_ops
     from log_project_spark.operators import route as route_ops
     from log_project_spark.operators import scoring
@@ -136,9 +205,14 @@ def pipeline_child(cpus: int, rows: int, input_path: str, profile: dict) -> None
     from log_project_spark.pipeline import parse_stage
     from log_project_spark.session import get_spark
 
+    capture = bool(profile.get("capture_stages"))
     spark = get_spark(
-        app_name=f"bench_pipeline_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+        app_name=f"bench_pipeline_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.enabled": "true"} if capture else None,
     )
+    ui_url = spark.sparkContext.uiWebUrl if capture else None
 
     if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
         _write_input(spark, rows, profile, input_path)
@@ -150,7 +224,43 @@ def pipeline_child(cpus: int, rows: int, input_path: str, profile: dict) -> None
     model_cache = f"{input_path}.model.pkl"
     sink_dir = f"{input_path}.sinks.{cpus}"
 
-    def one_pass() -> dict:
+    def skew_pass() -> dict:
+        """Skew leg: parse -> salted two-phase per-conv aggregate over
+        the 30%-hot table; cross-level equality is checked on the full
+        aggregate result via an order-independent checksum."""
+        df = spark.read.parquet(input_path)
+        pre_stages = _ui_completed_stages(ui_url) if capture else {}
+        t0 = time.perf_counter()
+        parsed = parse_stage(df)
+        per_conv = agg_ops.salted_agg(
+            parsed, ["conv_id"], ["turn_idx"], salt_col="turn_idx", buckets=32
+        )
+        summ = per_conv.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n").alias("rows"),
+            # XOR, not sum: order-independent AND overflow-free under
+            # ANSI mode (summing 8M xxhash64 values overflows long)
+            F.bit_xor(F.xxhash64("conv_id", "n", "sum_turn_idx")).alias("checksum"),
+        ).first()
+        wall = time.perf_counter() - t0
+        out = {
+            "cpus": cpus,
+            "wall_sec": round(wall, 3),
+            "rows": int(summ["rows"]),
+            "turns_per_sec": round(int(summ["rows"]) / wall, 1),
+            "sink_counts": {
+                "n_groups": int(summ["n_groups"]),
+                "rows": int(summ["rows"]),
+                "checksum": int(summ["checksum"]),
+            },
+        }
+        if capture:
+            post = _ui_completed_stages(ui_url)
+            new = {k: v for k, v in post.items() if k not in pre_stages}
+            out["straggle"] = _ui_straggle(ui_url, new)
+        return out
+
+    def pipeline_pass() -> dict:
         df = spark.read.parquet(input_path)
         t0 = time.perf_counter()
         parsed = parse_stage(df)
@@ -174,12 +284,13 @@ def pipeline_child(cpus: int, rows: int, input_path: str, profile: dict) -> None
             from pyspark.sql import Observation
 
             obs = Observation()
-            # one write task per core: the kernel+write pipeline runs
-            # at exactly `cpus` parallelism and the commit handles
-            # cpus*|sinks|*|dt| files instead of n_input_files times
-            # that (coalesce merges whole hash-disjoint sorted files,
-            # so group contiguity for the clustered kernel is intact)
-            scored = scored.coalesce(cpus)
+            # two write waves per core: the kernel+write pipeline runs
+            # at 2*cpus tasks so one noise-hit task costs half a wave,
+            # not a whole one (coalesce merges whole hash-disjoint
+            # sorted files, so group contiguity for the clustered
+            # kernel is intact), and the commit still handles only
+            # 2*cpus*|sinks|*|dt| files
+            scored = scored.coalesce(2 * cpus)
             routed = route_ops.with_sink(scored).observe(
                 obs,
                 *[
@@ -205,6 +316,8 @@ def pipeline_child(cpus: int, rows: int, input_path: str, profile: dict) -> None
             "sink_counts": counts,
         }
 
+    one_pass = skew_pass if profile.get("skew_agg") else pipeline_pass
+
     warm = one_pass()  # warm-up (JIT, codegen, python daemons, model cache)
     if profile["write_sinks"]:
         # one untimed verification: files on disk == observed counts
@@ -214,14 +327,14 @@ def pipeline_child(cpus: int, rows: int, input_path: str, profile: dict) -> None
             for r in written.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         assert on_disk == warm["sink_counts"], (on_disk, warm["sink_counts"])
-    # the host is shared (2x wall variance observed on identical
-    # passes, up to 3x over a day): take the best of K timed passes
-    # (default 3, env BENCH_TIMED_PASSES) and report all walls
-    n_timed = int(os.environ.get("BENCH_TIMED_PASSES", "3"))
-    passes = [one_pass() for _ in range(n_timed)]
-    best = min(passes, key=lambda p: p["wall_sec"])
-    best["all_walls"] = [p["wall_sec"] for p in passes]
-    print(json.dumps(best))
+    print("@@READY " + json.dumps(warm), flush=True)
+    for line in sys.stdin:
+        cmd = line.strip()
+        if cmd == "PASS":
+            print("@@RESULT " + json.dumps(one_pass()), flush=True)
+        elif cmd == "EXIT":
+            break
+    spark.stop()
 
 
 def _generate_input(rows: int, profile: dict, input_path: str) -> None:
@@ -232,7 +345,47 @@ def _generate_input(rows: int, profile: dict, input_path: str) -> None:
     spark.stop()
 
 
-def run_scaling(rows: int, profile: dict, tag: str) -> dict:
+class _Server:
+    """Handle on a persistent pipeline_server child."""
+
+    def __init__(self, cpus: int, rows: int, input_path: str, profile: dict):
+        self.cpus = cpus
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--pipeline-server",
+             str(cpus), str(rows), input_path, json.dumps(profile)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            text=True, cwd=REPO,
+        )
+
+    def _read(self, marker: str) -> dict:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(
+                    f"pipeline server local[{self.cpus}] exited "
+                    f"(rc={self.proc.poll()})"
+                )
+            if line.startswith(marker):
+                return json.loads(line[len(marker):])
+
+    def wait_ready(self) -> dict:
+        return self._read("@@READY ")
+
+    def timed_pass(self) -> dict:
+        self.proc.stdin.write("PASS\n")
+        self.proc.stdin.flush()
+        return self._read("@@RESULT ")
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.write("EXIT\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=120)
+        except Exception:
+            self.proc.kill()
+
+
+def run_scaling(rows: int, profile: dict, tag: str, pairs: int) -> dict:
     # Parallelism pair: N and 4N with 4N*2 <= machine cores, because in
     # local mode every task slot also runs a Python worker — at
     # local[32] on a 32-core box, 64 active threads oversubscribe and
@@ -248,34 +401,75 @@ def run_scaling(rows: int, profile: dict, tag: str) -> dict:
         # timed protocol; children would build it at N cores otherwise)
         _generate_input(rows, profile, input_path)
 
-    results = {}
-    for cpus in (big_cpus, small_cpus):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pipeline",
-             str(cpus), str(rows), input_path, json.dumps(profile)],
-            capture_output=True, text=True, cwd=REPO, timeout=3600,
-        )
-        if proc.returncode != 0:
-            print(proc.stderr[-4000:], file=sys.stderr)
-            raise RuntimeError(f"pipeline child local[{cpus}] failed")
-        line = proc.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
-        print(f"[bench] {tag} local[{cpus}]: {results[cpus]}", file=sys.stderr)
+    # Interleaved protocol (VERDICT r2 #1): both servers stay alive for
+    # the whole leg; warm-ups run sequentially (big first), then timed
+    # passes alternate big,small | big,small | ... so host drift lands
+    # on both levels. While one level runs, the other's JVM is idle on
+    # a blocking stdin read.
+    big = _Server(big_cpus, rows, input_path, profile)
+    big.wait_ready()
+    small = _Server(small_cpus, rows, input_path, profile)
+    small.wait_ready()
+    pair_results = []
+    try:
+        for i in range(pairs):
+            b = big.timed_pass()
+            s = small.timed_pass()
+            eff_i = b["turns_per_sec"] / (4.0 * s["turns_per_sec"])
+            pair_results.append({"big": b, "small": s, "eff": round(eff_i, 3)})
+            print(
+                f"[bench] {tag} pair {i + 1}/{pairs}: big {b['wall_sec']}s, "
+                f"small {s['wall_sec']}s, eff {eff_i:.3f}",
+                file=sys.stderr,
+            )
+    finally:
+        big.close()
+        small.close()
 
-    small, big = results[small_cpus], results[big_cpus]
-    eff = big["turns_per_sec"] / (4.0 * small["turns_per_sec"])
-    return {
+    bigs = [p["big"] for p in pair_results]
+    smalls = [p["small"] for p in pair_results]
+    best_big = min(bigs, key=lambda p: p["wall_sec"])
+    best_small = min(smalls, key=lambda p: p["wall_sec"])
+    effs = sorted(p["eff"] for p in pair_results)
+    eff_median = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    )
+    counts_equal = all(
+        p["big"]["sink_counts"] == p["small"]["sink_counts"] for p in pair_results
+    )
+    out = {
         "rows": rows,
         "n_small": small_cpus,
         "n_big": big_cpus,
-        "turns_per_sec_small": small["turns_per_sec"],
-        "turns_per_sec_big": big["turns_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "sink_counts_equal": small["sink_counts"] == big["sink_counts"],
-        "sink_counts": big["sink_counts"],
-        "walls_small": small.get("all_walls"),
-        "walls_big": big.get("all_walls"),
+        "pairs": pairs,
+        "turns_per_sec_small": best_small["turns_per_sec"],
+        "turns_per_sec_big": best_big["turns_per_sec"],
+        # selection rule: best wall per level across the K interleaved
+        # passes (noise on a shared host is strictly additive)
+        "scaling_efficiency": round(
+            best_big["turns_per_sec"] / (4.0 * best_small["turns_per_sec"]), 3
+        ),
+        "pair_efficiencies": [p["eff"] for p in pair_results],
+        "eff_min": effs[0],
+        "eff_median": eff_median,
+        "eff_max": effs[-1],
+        "sink_counts_equal": counts_equal,
+        "sink_counts": best_big["sink_counts"],
+        "walls_small": [p["wall_sec"] for p in smalls],
+        "walls_big": [p["wall_sec"] for p in bigs],
+        "protocol": "interleaved big/small pairs, persistent JVMs, warmed; "
+        "eff = best_big/(4*best_small)",
     }
+    if any("straggle" in p for p in bigs + smalls):
+        out["straggle_big"] = max(
+            (p.get("straggle", {}) for p in bigs),
+            key=lambda s: s.get("ratio", 0.0),
+        )
+        out["straggle_small"] = max(
+            (p.get("straggle", {}) for p in smalls),
+            key=lambda s: s.get("ratio", 0.0),
+        )
+    return out
 
 
 def _prev_bench_queries() -> tuple[str, dict] | None:
@@ -300,34 +494,44 @@ def _prev_bench_queries() -> tuple[str, dict] | None:
     return None
 
 
+def _pairs(which: str, default: int) -> int:
+    if os.environ.get("BENCH_PAIRS"):
+        return int(os.environ["BENCH_PAIRS"])
+    return int(os.environ.get(f"BENCH_PAIRS_{which}", str(default)))
+
+
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--pipeline":
+    if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-server":
         profile = json.loads(sys.argv[5]) if len(sys.argv) > 5 else MAIN_PROFILE
-        pipeline_child(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], profile)
+        pipeline_server(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], profile)
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     rows = int(os.environ.get("BENCH_PIPELINE_ROWS", "16000000"))
     routed_rows = int(os.environ.get("BENCH_ROUTED_ROWS", "8000000"))
+    skew_rows = int(os.environ.get("BENCH_SKEW_ROWS", "8000000"))
 
     timings = run_headline(sf_dir, cpus)
 
     scaling: dict = {}
     pipeline: dict = {}
     routed: dict = {}
+    skew: dict = {}
     if os.environ.get("BENCH_SKIP_SCALING", "") != "1":
-        scaling = run_scaling(rows, MAIN_PROFILE, "main")
+        scaling = run_scaling(rows, MAIN_PROFILE, "main", _pairs("MAIN", 3))
         pipeline = {
             "rows": scaling["rows"],
             "turns_per_sec": scaling["turns_per_sec_big"],
         }
     if os.environ.get("BENCH_SKIP_ROUTED", "") != "1":
-        routed = run_scaling(routed_rows, ROUTED_PROFILE, "routed")
+        routed = run_scaling(routed_rows, ROUTED_PROFILE, "routed", _pairs("ROUTED", 5))
         routed["all_sinks_nonzero"] = all(
             routed["sink_counts"].get(s, 0) > 0
             for s in ("anomalous", "drifting", "nominal")
         )
+    if os.environ.get("BENCH_SKIP_SKEW", "") != "1":
+        skew = run_scaling(skew_rows, SKEW_PROFILE, "skew", _pairs("SKEW", 2))
 
     deltas: dict = {}
     prev = _prev_bench_queries()
@@ -354,6 +558,7 @@ def main() -> None:
         "pipeline": pipeline,
         "scaling": scaling,
         "routed": routed,
+        "skew": skew,
         "deltas_vs_prev": deltas,
     }
     print(json.dumps(out))
