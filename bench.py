@@ -97,7 +97,13 @@ SKEW_PROFILE = dict(
 )
 
 
-def run_headline(sf_dir: str, cpus: int) -> dict:
+def run_headline(sf_dir: str, cpus: int) -> tuple[dict, dict]:
+    """Per-query single-plan walls. One untimed warm-up action first
+    (JVM JIT, codegen, parquet footer cache) so the first query's wall
+    measures its plan, not session startup; then best-of-K per query
+    (K = BENCH_HEADLINE_PASSES, default 2) with every wall recorded —
+    the shared host varies up to 3x on identical passes, so
+    round-over-round deltas on single-shot walls were pure noise."""
     import __spark_entry__ as entry_mod
     from log_project_spark.session import get_spark
 
@@ -105,16 +111,28 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         app_name="bench_headline", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
     )
     queries = entry_mod.queries()
+    n_passes = int(os.environ.get("BENCH_HEADLINE_PASSES", "2"))
+    # warm-up: scan+aggregate over the main input to exercise codegen,
+    # shuffle machinery and the Python worker pool, untimed
+    from pyspark.sql import functions as F
+
+    warm = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    warm.groupBy(F.crc32(F.col("text").cast("binary")) % 7).count().collect()
     timings: dict[str, float] = {}
+    all_walls: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"[bench] {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        walls = []
+        for _ in range(n_passes):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            walls.append(round(time.perf_counter() - t0, 4))
+        timings[name] = min(walls)
+        all_walls[name] = walls
+        print(f"[bench] {name}: {n} rows, walls {walls}", file=sys.stderr)
     spark.stop()
-    return timings
+    return timings, all_walls
 
 
 def _write_input(spark, rows: int, profile: dict, input_path: str) -> None:
@@ -512,7 +530,7 @@ def main() -> None:
     routed_rows = int(os.environ.get("BENCH_ROUTED_ROWS", "8000000"))
     skew_rows = int(os.environ.get("BENCH_SKEW_ROWS", "8000000"))
 
-    timings = run_headline(sf_dir, cpus)
+    timings, headline_walls = run_headline(sf_dir, cpus)
 
     scaling: dict = {}
     pipeline: dict = {}
@@ -554,6 +572,9 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "headline_walls": headline_walls,
+        "headline_protocol": "untimed warm-up action, then best-of-"
+        f"{os.environ.get('BENCH_HEADLINE_PASSES', '2')} per query (all walls above)",
         "sf": sf_val,
         "pipeline": pipeline,
         "scaling": scaling,
