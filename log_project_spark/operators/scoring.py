@@ -102,8 +102,15 @@ def _fit_and_maybe_cache(texts, weights, cfg, cache_path):
         seed=cfg.seed,
     )
     if cache_path:
-        with open(cache_path, "wb") as f:
+        # atomic publish: concurrent fitters (e.g. two bench servers
+        # warming up in parallel) must never expose a half-written
+        # pickle to a reader's os.path.exists -> load window
+        import os
+
+        tmp = f"{cache_path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
             pickle.dump(model, f)
+        os.replace(tmp, cache_path)
     return model
 
 
