@@ -23,6 +23,20 @@ CALIB_ORDER = ["conformal", "no_calib"]
 METRIC_COLS = ["TPR_at_1pct_FPR", "p95_ms", "p99_ms", "eps", "CPU_pct"]
 
 
+COLUMN_ALIASES = {"model": "mode", "cal": "calibration", "throughput_eps": "eps"}
+
+
+def normalize_summary_columns(summary: DataFrame) -> DataFrame:
+    """Foreign-ledger column tolerance (make_multi_plots_v2.py:37-49,
+    215-230): accept model/cal/throughput_eps as aliases for
+    mode/calibration/eps; canonical name wins when both exist."""
+    out = summary
+    for alias, canon in COLUMN_ALIASES.items():
+        if alias in out.columns:
+            out = out.drop(alias) if canon in out.columns else out.withColumnRenamed(alias, canon)
+    return out
+
+
 def _with_file_order(summary: DataFrame) -> DataFrame:
     if "__order__" in summary.columns:
         return summary
@@ -91,12 +105,15 @@ def multi_config_shape(
     calibrations: list[str] | None = None,
     collapse: str = "last",
     drop_zero: bool = True,
+    expect: int = 0,
 ) -> DataFrame:
     """The v2 multi-config pipeline (make_multi_plots_v2.py:214-236):
-    optional calibration filter -> optional zero-latency drop ->
-    collapse last|median|none -> smart order. Shared by the grouped
-    figures and any multi-config report so they can never disagree."""
-    out = summary
+    alias normalization -> optional calibration filter -> optional
+    zero-latency drop -> collapse last|median|none -> smart order.
+    Shared by the grouped figures and any multi-config report so they
+    can never disagree. expect>0 warns when fewer rows survive the
+    filters (make_multi_plots_v2.py --expect)."""
+    out = normalize_summary_columns(summary)
     if calibrations:
         out = filter_calibrations(out, calibrations)
     if drop_zero:
@@ -107,6 +124,14 @@ def multi_config_shape(
         out = median_collapse(out)
     elif collapse != "none":
         raise ValueError(f"unknown collapse mode {collapse!r}")
+    if expect > 0:  # opt-in count job, mirroring --expect
+        n = out.count()
+        if n < expect:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "have %d rows after filtering; expected %d", n, expect
+            )
     return smart_order(out)
 
 

@@ -269,3 +269,29 @@ def test_grouped_figures_render_reference_parity(spark, tmp_path):
     med = figures.make_multi_plots(df, str(tmp_path / "med"), collapse="median")
     texts3 = [t.text for t in ET.parse(med["p95_ms"]).getroot().findall("svg:text", ns)]
     assert "3.5" in texts3 and "3.6" not in texts3
+
+
+def test_multi_config_alias_normalization_and_expect(spark, caplog):
+    """Reference --expect warn + model/cal/throughput_eps alias
+    tolerance (make_multi_plots_v2.py:37-49,215-230)."""
+    import logging
+
+    from log_project_spark import reporting
+
+    foreign = spark.createDataFrame(
+        [("d1", "baseline", "conformal", "1.5", "2.0", "300.0")],
+        "dataset string, model string, cal string, p95_ms string, "
+        "p99_ms string, throughput_eps string",
+    )
+    shaped = reporting.multi_config_shape(foreign)
+    assert {"mode", "calibration", "eps"} <= set(shaped.columns)
+    assert "model" not in shaped.columns and "cal" not in shaped.columns
+    row = shaped.first()
+    assert row["mode"] == "baseline" and row["eps"] == "300.0"
+    # canonical column wins when both are present
+    both = foreign.withColumn("mode", foreign.model)
+    norm = reporting.normalize_summary_columns(both)
+    assert norm.columns.count("mode") == 1 and "model" not in norm.columns
+    with caplog.at_level(logging.WARNING, logger="log_project_spark.reporting"):
+        reporting.multi_config_shape(foreign, expect=5).collect()
+    assert any("expected 5" in r.getMessage() for r in caplog.records)
