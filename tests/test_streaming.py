@@ -221,3 +221,110 @@ def test_streaming_drift_parity_across_microbatches(spark, tmp_path):
         for r in spark.sql("SELECT * FROM drift_stream_out").collect()
     }
     assert got == batch
+
+
+def _feed_files(spark, src_dir, batches, schema_df_builder):
+    """Write each batch as one parquet file with strictly increasing
+    mtimes (file-source micro-batch order)."""
+    import shutil
+
+    os.makedirs(src_dir, exist_ok=True)
+    stamp = 1_700_000_000
+    for i, rows in enumerate(batches):
+        tmp = f"{src_dir}__stage{i}"
+        schema_df_builder(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f_ in sorted(os.listdir(tmp)):
+            if f_.endswith(".parquet"):
+                dst = os.path.join(src_dir, f"b{i}_{f_}")
+                shutil.copy(os.path.join(tmp, f_), dst)
+                stamp += 60
+                os.utime(dst, (stamp, stamp))
+
+
+def test_streaming_dedup_exact_across_microbatches(spark, tmp_path):
+    """dedup_stream_exact drops re-occurrences WITHIN and ACROSS
+    micro-batches; result set == batch dropDuplicates."""
+    from log_project_spark.streaming.dedup_stream import dedup_stream_exact
+
+    batches = [
+        [("d1", "alpha"), ("d2", "beta"), ("d1", "alpha-dup-in-batch")],
+        [("d2", "beta-dup-across"), ("d3", "gamma")],
+        [("d1", "alpha-dup-late"), ("d4", "delta")],
+    ]
+    src = str(tmp_path / "in")
+    _feed_files(
+        spark, src, batches,
+        lambda rows: spark.createDataFrame(rows, "doc_id string, text string"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream_exact(stream, ["doc_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_exact_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_exact_out").collect()}
+    n = spark.sql("SELECT count(*) AS n FROM dedup_exact_out").first()["n"]
+    assert got == {"d1", "d2", "d3", "d4"} and n == 4
+
+
+def test_streaming_dedup_watermark_bounded_state(spark, tmp_path):
+    """dedup_stream_within_watermark: duplicate inside the delay is
+    dropped; once the watermark passes the key's event time + delay,
+    state is evicted and a later re-occurrence EMITS AGAIN (the
+    bounded-state trade-off the module documents)."""
+    from datetime import datetime
+
+    from log_project_spark.streaming.dedup_stream import (
+        dedup_stream_within_watermark,
+    )
+
+    t = lambda m: datetime(2026, 1, 1, 10, m)  # noqa: E731
+    batches = [
+        [("A", t(0), "first")],
+        # dup of A within 10 min -> dropped; B advances the watermark
+        # to 10:30 - 10m = 10:20 > 10:00 + 10m -> A's state expires
+        [("A", t(2), "dup-within-delay"), ("B", t(30), "advance")],
+        # eviction runs at batch END with a one-batch watermark lag, so
+        # an intermediate batch lets A's state actually drop
+        [("C", t(31), "settle")],
+        # A re-occurs after expiry (event time above the 10:21
+        # watermark, so not late-dropped) -> emits again
+        [("A", t(25), "re-occurrence-after-expiry")],
+    ]
+    src = str(tmp_path / "in")
+    _feed_files(
+        spark, src, batches,
+        lambda rows: spark.createDataFrame(rows, "doc_id string, ts timestamp, tag string"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id string, ts timestamp, tag string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream_within_watermark(stream, ["doc_id"], "ts", "10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_wm_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT doc_id, tag FROM dedup_wm_out").collect()
+    tags = sorted(r["tag"] for r in rows)
+    assert "dup-within-delay" not in tags
+    assert tags == ["advance", "first", "re-occurrence-after-expiry", "settle"]
