@@ -893,6 +893,23 @@ def q_exact_percentiles_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_percentiles_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch percentile path (scale counterpart of
+    exact_percentiles_global): one scan, mergeable O(accuracy)
+    partials, NO range shuffle. At accuracy >= n the GK sketch retains
+    every point, so the result is EXACTLY the lower-index element
+    (verified against DuckDB quantile_disc); the low-accuracy rank
+    bound is pinned in tests/test_aggregate.py."""
+    ev = _t(spark, sf_dir, "events")
+    return agg_ops.approx_percentiles(
+        ev, "value", [50.0, 95.0, 99.0], accuracy=10_000_000
+    ).select(
+        F.col("p50_0").alias("p50"),
+        F.col("p95_0").alias("p95"),
+        F.col("p99_0").alias("p99"),
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe search end-to-end: top-2 cells by centroid dot with
     the vec_id=0 query, exact cosine top-10 within the probed cells."""
@@ -1087,6 +1104,7 @@ def _corpus_curation_sql(max_hamming: int = 3, n_bands: int = 4, min_q: float = 
 _EXTRA_QUERIES = {
     "ivf_assign": q_ivf_assign,
     "exact_percentiles_global": q_exact_percentiles_global,
+    "approx_percentiles_global": q_approx_percentiles_global,
     "ivf_topk": q_ivf_topk,
     "corpus_curation": q_corpus_curation,
     "salted_agg_sums": q_salted_agg_sums,
@@ -1306,6 +1324,14 @@ def oracle_sql() -> dict[str, str]:
     out["ivf_assign"] = _ivf_sql()
     out["srp_buckets"] = _srp_sql()
     out["exact_percentiles_global"] = _PCTL_GLOBAL_SQL
+    # at accuracy >= n the sketch is exact; quantile_disc picks the
+    # same lower-index element on distinct-valued columns
+    out["approx_percentiles_global"] = """
+        SELECT quantile_disc(value, 0.50) AS p50,
+               quantile_disc(value, 0.95) AS p95,
+               quantile_disc(value, 0.99) AS p99
+        FROM events
+    """
     out["ivf_topk"] = _ivf_topk_sql()
     out["corpus_curation"] = _corpus_curation_sql()
     out["salted_agg_sums"] = """

@@ -145,6 +145,27 @@ def exact_percentile_distributed(
     return out
 
 
+def approx_percentiles(
+    df: DataFrame, col: str, ps: list[float], accuracy: int = 10_000
+) -> DataFrame:
+    """Approximate percentiles via Spark's built-in mergeable GK
+    sketch (`percentile_approx`) — the 100 TB path next to
+    `exact_percentile_distributed`: the exact operator costs a full
+    range shuffle of the column; the sketch is one scan with map-side
+    partial aggregation (each task keeps an O(accuracy) summary,
+    partials merge associatively), no shuffle of data rows at all.
+    Guaranteed rank error <= n/accuracy; the returned value is always
+    an ELEMENT of the column (like the reference's lower-index exact
+    percentile, never an interpolation). Result column per p:
+    `p<p>` (dots stripped), double."""
+    exprs = [
+        F.percentile_approx(F.col(col).cast("double"), F.lit(p / 100.0), F.lit(accuracy))
+        .alias(f"p{str(p).replace('.', '_')}")
+        for p in ps
+    ]
+    return df.agg(*exprs)
+
+
 # ---------------------------------------------------------------------------
 # TPR @ target FPR (A3, src/stream.py:146-158)
 # ---------------------------------------------------------------------------

@@ -197,3 +197,34 @@ def test_summary_row_schema(spark):
     assert len(row.columns) == 24
     r = row.first()
     assert float(r["p95_ms"]) <= float(r["p99_ms"]) + 1e-9
+
+
+def test_approx_percentiles_rank_bound_and_plan(spark):
+    """approx_percentiles: (a) guaranteed rank error <= n/accuracy vs
+    the exact sorted column, (b) returned values are elements of the
+    column, (c) the plan is sketch-shaped — partial/final aggregation
+    with NO range shuffle of data rows (the exact operator's cost)."""
+    import bisect
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([rng.normal(0, 1, 6000), rng.exponential(2, 4000)])
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double").repartition(8)
+    n = len(vals)
+    s = np.sort(vals)
+    ps = [1.0, 50.0, 95.0, 99.0]
+    for accuracy in (100, 10_000):
+        row = agg.approx_percentiles(df, "v", ps, accuracy=accuracy).first()
+        for p in ps:
+            got = row[f"p{str(p).replace('.', '_')}"]
+            assert float(got) in set(s.tolist())  # element, not interpolation
+            # rank of the returned element vs the target rank
+            lo = bisect.bisect_left(s, got)
+            hi = bisect.bisect_right(s, got) - 1
+            target = int((p / 100.0) * n)
+            err = min(abs(lo - target), abs(hi - target))
+            assert err <= n / accuracy + 1, (p, accuracy, err)
+    plan = agg.approx_percentiles(df, "v", ps)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    assert "partial_percentile_approx" in plan.lower()
