@@ -295,3 +295,59 @@ def test_multi_config_alias_normalization_and_expect(spark, caplog):
     with caplog.at_level(logging.WARNING, logger="log_project_spark.reporting"):
         reporting.multi_config_shape(foreign, expect=5).collect()
     assert any("expected 5" in r.getMessage() for r in caplog.records)
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """North-rule bucketing: same-key/same-count bucketed tables join
+    with NO Exchange on either side; result equals the plain join."""
+    from log_project_spark.sources import bucketing
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS buck_test LOCATION '{tmp_path / 'wh'}'"
+    )
+    try:
+        turns = spark.range(0, 5000).selectExpr(
+            "concat('c', id % 400) AS conv_id", "id AS turn_idx", "id * 2 AS v"
+        )
+        labels = spark.range(0, 400).selectExpr(
+            "concat('c', id) AS conv_id", "id % 3 AS label"
+        )
+        bucketing.write_bucketed(turns, "buck_test.turns", "conv_id", 8, sort_key="conv_id")
+        bucketing.write_bucketed(labels, "buck_test.labels", "conv_id", 8, sort_key="conv_id")
+        # disable broadcast so the join strategy is the co-located
+        # sort-merge the bucketing is supposed to feed
+        with _no_broadcast(spark):
+            joined = bucketing.bucketed_join(
+                spark, "buck_test.turns", "buck_test.labels", on=["conv_id"]
+            )
+            plan = bucketing.assert_no_join_exchange(joined)
+            assert "SortMergeJoin" in plan
+            got = joined.groupBy("label").count().orderBy("label").collect()
+        expect = (
+            turns.join(labels, "conv_id").groupBy("label").count().orderBy("label").collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+        # mismatched bucket counts must NOT silently pass the gate
+        bucketing.write_bucketed(labels, "buck_test.labels12", "conv_id", 12)
+        with _no_broadcast(spark):
+            bad = bucketing.bucketed_join(
+                spark, "buck_test.turns", "buck_test.labels12", on=["conv_id"]
+            )
+            import pytest as _pytest
+
+            with _pytest.raises(AssertionError, match="Exchange"):
+                bucketing.assert_no_join_exchange(bad)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS buck_test CASCADE")
+
+
+class _no_broadcast:
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev)
