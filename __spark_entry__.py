@@ -25,6 +25,7 @@ from log_project_spark.operators import aggregate as agg_ops
 from log_project_spark.operators import parse as parse_ops
 from log_project_spark.operators import route as route_ops
 from log_project_spark.operators import scoring
+from log_project_spark.operators import sessionize
 from log_project_spark.operators.calibrate import calibrate
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -893,6 +894,21 @@ def q_exact_percentiles_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (12 h gap) + per-session rollup:
+    one shuffle on user_id, lag + running sum in a single Window
+    stage, micros-precision gap arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    return sessionize.session_stats(ev, "user_id", "ts", gap_seconds=43200)
+
+
+def q_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window counts per event_type via F.window (the
+    same expression a watermarked streaming agg uses)."""
+    ev = _t(spark, sf_dir, "events")
+    return sessionize.tumbling_counts(ev, "ts", 3600, keys=["event_type"])
+
+
 def q_approx_percentiles_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch percentile path (scale counterpart of
     exact_percentiles_global): one scan, mergeable O(accuracy)
@@ -1105,6 +1121,8 @@ _EXTRA_QUERIES = {
     "ivf_assign": q_ivf_assign,
     "exact_percentiles_global": q_exact_percentiles_global,
     "approx_percentiles_global": q_approx_percentiles_global,
+    "sessionize_events": q_sessionize_events,
+    "tumbling_event_counts": q_tumbling_event_counts,
     "ivf_topk": q_ivf_topk,
     "corpus_curation": q_corpus_curation,
     "salted_agg_sums": q_salted_agg_sums,
@@ -1331,6 +1349,40 @@ def oracle_sql() -> dict[str, str]:
                quantile_disc(value, 0.95) AS p95,
                quantile_disc(value, 0.99) AS p99
         FROM events
+    """
+    out["sessionize_events"] = """
+        WITH flag AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             <= 43200000000
+                        THEN 0 ELSE 1 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts,
+                   CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_seq
+            FROM flag
+        )
+        SELECT user_id, session_seq,
+               count(*) AS n_events,
+               min(ts) AS t_first,
+               max(ts) AS t_last,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
+                   AS span_seconds
+        FROM sess
+        GROUP BY user_id, session_seq
+    """
+    # width=3600s tumbling buckets are hour-aligned for both engines
+    # (Spark's F.window origin is the epoch, which is on the hour)
+    out["tumbling_event_counts"] = """
+        SELECT date_trunc('hour', ts) AS w_start, event_type,
+               count(*) AS n
+        FROM events
+        GROUP BY 1, 2
     """
     out["ivf_topk"] = _ivf_topk_sql()
     out["corpus_curation"] = _corpus_curation_sql()
