@@ -75,6 +75,9 @@ HEADLINE = [
     "quality_score",
     "iforest_scores",
     "salted_counts",
+    "sessionize_events",
+    "tumbling_event_counts",
+    "approx_percentiles_global",
 ]
 # corpus_curation and near_dup_components are iterative multi-action
 # queries covered by the correctness gate; they would distort the
