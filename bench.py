@@ -43,7 +43,7 @@ latest one's per-query timings are diffed into "deltas_vs_prev"
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 BENCH_PIPELINE_ROWS (default 16_000_000), BENCH_ROUTED_ROWS (default
 8_000_000), BENCH_SKEW_ROWS (default 8_000_000), BENCH_SCALE_N
-(default 2), BENCH_PAIRS_MAIN (default 3), BENCH_PAIRS_ROUTED
+(default 2), BENCH_PAIRS_MAIN (default 5), BENCH_PAIRS_ROUTED
 (default 5), BENCH_PAIRS_SKEW (default 3), BENCH_SKIP_SCALING=1,
 BENCH_SKIP_ROUTED=1, BENCH_SKIP_SKEW=1.
 """
@@ -609,7 +609,7 @@ def main() -> None:
     routed: dict = {}
     skew: dict = {}
     if os.environ.get("BENCH_SKIP_SCALING", "") != "1":
-        scaling = run_scaling(rows, MAIN_PROFILE, "main", _pairs("MAIN", 3))
+        scaling = run_scaling(rows, MAIN_PROFILE, "main", _pairs("MAIN", 5))
         pipeline = {
             "rows": scaling["rows"],
             "turns_per_sec": scaling["turns_per_sec_big"],
