@@ -97,18 +97,111 @@ class TableCatalog:
     def _meta_path(self, name: str) -> str:
         return os.path.join(self.warehouse, f"{name}.snapshots.json")
 
+    def _data_files(self, name: str) -> list[str]:
+        """Relative paths of the table's parquet data files (walks
+        partition directories)."""
+        root = self._path(name)
+        out = []
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.append(os.path.relpath(os.path.join(dirpath, f), root))
+        return sorted(out)
+
     def _log_snapshot(self, name: str, mode: str, partition_by: tuple[str, ...]) -> None:
         meta = self.snapshots(name)
+        # per-snapshot file delta (Iceberg manifest stand-in): the
+        # files this write ADDED = current listing minus everything
+        # recorded since the last overwrite
+        current = self._data_files(name)
+        seen: set[str] = set()
+        for snap in meta:
+            if snap["mode"] != "append":
+                seen = set()
+            seen |= set(snap.get("files_added", []))
+        added = [f for f in current if f not in seen]
         meta.append(
             {
                 "snapshot_id": len(meta) + 1,
                 "mode": mode,
                 "partition_by": list(partition_by),
                 "wall_time": time.time(),
+                "files_added": added,
             }
         )
         with open(self._meta_path(name), "w") as f:
             json.dump(meta, f, indent=1)
+
+    def read_incremental(self, name: str, since_snapshot_id: int) -> DataFrame:
+        """Incremental consumption: only the rows APPENDED after
+        `since_snapshot_id` (Iceberg's incremental-append scan). Reads
+        just the delta files — an hourly consumer of a 100 TB table
+        touches only the new data, not the table. Raises if a
+        non-append snapshot (overwrite/compact) intervened, exactly as
+        Iceberg's incremental read does: the delta is no longer
+        expressible as added files."""
+        if self.iceberg:
+            return (
+                self.spark.read.option("start-snapshot-id", since_snapshot_id)
+                .table(self._ident(name))
+            )
+        files: list[str] = []
+        for snap in self.snapshots(name):
+            if snap["snapshot_id"] <= since_snapshot_id:
+                continue
+            if snap["mode"] != "append":
+                raise ValueError(
+                    f"incremental read across non-append snapshot "
+                    f"{snap['snapshot_id']} ({snap['mode']}) — re-baseline "
+                    "the consumer from a full read"
+                )
+            files.extend(snap.get("files_added", []))
+        root = self._path(name)
+        if not files:
+            return self.read(name).limit(0)
+        # basePath keeps partition-directory columns in the schema
+        return self.spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, f) for f in files]
+        )
+
+    def compact(self, name: str, target_mb: int = 128) -> int:
+        """Small-file compaction (Iceberg rewrite_data_files):
+        rewrite the table into ~target_mb files, preserving the
+        partition layout (hash-repartition on the partition columns so
+        each value's rows land together). Streaming ingest and
+        per-sink fan-outs accumulate small files; scan cost at 100 TB
+        is driven by file count as much as bytes. Writes to a temp
+        location, then swaps — Spark cannot safely read and overwrite
+        the same path in one job. Returns the new file count."""
+        import shutil
+
+        if self.iceberg:
+            self.spark.sql(
+                "CALL "
+                f"{self.iceberg}.system.rewrite_data_files(table => '{self._ident(name)}', "
+                f"options => map('target-file-size-bytes', '{target_mb * 1024 * 1024}'))"
+            )
+            return -1
+        root = self._path(name)
+        meta = self.snapshots(name)
+        part_by = tuple(meta[-1]["partition_by"]) if meta else ()
+        total_bytes = sum(
+            os.path.getsize(os.path.join(root, f)) for f in self._data_files(name)
+        )
+        n_files = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+        df = self.read(name)
+        df = df.repartition(n_files, *part_by) if part_by else df.repartition(n_files)
+        tmp = f"{root}.compact.tmp"
+        w = df.write.mode("overwrite")
+        if part_by:
+            w = w.partitionBy(*part_by)
+        w.parquet(tmp)
+        old = f"{root}.compact.old"
+        os.rename(root, old)
+        os.rename(tmp, root)
+        shutil.rmtree(old)
+        self._log_snapshot(name, "compact", part_by)
+        return len(self._data_files(name))
 
     def snapshots(self, name: str) -> list[dict]:
         if self.iceberg:

@@ -351,3 +351,43 @@ class _no_broadcast:
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev)
+
+
+def test_catalog_incremental_read_and_compaction(spark, tmp_path):
+    """Snapshot file-deltas power incremental consumption; compaction
+    rewrites small files preserving data + partition layout; an
+    overwrite/compact between snapshots correctly breaks incremental
+    reads (re-baseline semantics, as Iceberg's)."""
+    c = cat.TableCatalog(spark, str(tmp_path / "wh"))
+    base = spark.range(0, 100).withColumn("dt", F.lit("2026-01-01"))
+    c.write(base.repartition(6), "t", partition_by=("dt",))
+    snap1 = c.snapshots("t")[-1]["snapshot_id"]
+    c.write(
+        spark.range(100, 130).withColumn("dt", F.lit("2026-01-02")).repartition(4),
+        "t", mode="append", partition_by=("dt",),
+    )
+    c.write(
+        spark.range(130, 140).withColumn("dt", F.lit("2026-01-02")).repartition(2),
+        "t", mode="append", partition_by=("dt",),
+    )
+    # incremental after snap1 = exactly the two appended batches,
+    # partition column intact
+    inc = c.read_incremental("t", snap1)
+    assert sorted(r["id"] for r in inc.collect()) == list(range(100, 140))
+    # (partition-dir values are type-inferred on read — dt comes back
+    # as a DATE; stringify for the comparison)
+    assert set(str(r["dt"]) for r in inc.collect()) == {"2026-01-02"}
+    # empty delta
+    last = c.snapshots("t")[-1]["snapshot_id"]
+    assert c.read_incremental("t", last).count() == 0
+    # compaction: fewer files, identical data, partitioning preserved
+    n_before = len(c._data_files("t"))
+    n_after = c.compact("t", target_mb=128)
+    assert n_after < n_before
+    assert sorted(r["id"] for r in c.read("t").collect()) == list(range(140))
+    assert any("dt=2026-01-02" in f for f in c._data_files("t"))
+    # incremental across the compact snapshot must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-append"):
+        c.read_incremental("t", snap1)
