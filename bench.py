@@ -46,7 +46,9 @@ BENCH_PIPELINE_ROWS (default 16_000_000), BENCH_ROUTED_ROWS (default
 8_000_000), BENCH_SKEW_ROWS (default 8_000_000), BENCH_SCALE_N
 (default 2), BENCH_PAIRS_MAIN (default 5), BENCH_PAIRS_ROUTED
 (default 5), BENCH_PAIRS_SKEW (default 3), BENCH_SKIP_SCALING=1,
-BENCH_SKIP_ROUTED=1, BENCH_SKIP_SKEW=1.
+BENCH_SKIP_ROUTED=1, BENCH_SKIP_SKEW=1, BENCH_PASS_TIMEOUT (default 900s
+per timed pass; a wedged pass truncates the leg, keeping finished
+pairs).
 """
 
 from __future__ import annotations
@@ -426,6 +428,13 @@ def _generate_input(rows: int, profile: dict, input_path: str) -> None:
     spark.stop()
 
 
+class PassTimeout(RuntimeError):
+    """A server pass exceeded the watchdog (observed failure mode: a
+    local-mode task wedges at (N-1)/N with the box idle — Spark has no
+    default task timeout, so without a watchdog the whole bench hangs
+    forever and the round records NO capture)."""
+
+
 class _Server:
     """Handle on a persistent pipeline_server child."""
 
@@ -438,8 +447,19 @@ class _Server:
             text=True, cwd=REPO,
         )
 
-    def _read(self, marker: str) -> dict:
+    def _read(self, marker: str, timeout_s: float | None = None) -> dict:
+        import select
+
+        deadline = time.monotonic() + timeout_s if timeout_s else None
         while True:
+            if deadline is not None:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 or not select.select(
+                    [self.proc.stdout], [], [], remaining
+                )[0]:
+                    raise PassTimeout(
+                        f"local[{self.cpus}] pass exceeded {timeout_s:.0f}s watchdog"
+                    )
             line = self.proc.stdout.readline()
             if not line:
                 raise RuntimeError(
@@ -450,12 +470,14 @@ class _Server:
                 return json.loads(line[len(marker):])
 
     def wait_ready(self) -> dict:
+        # warm-ups include possible input/model generation: no watchdog
         return self._read("@@READY ")
 
     def timed_pass(self) -> dict:
         self.proc.stdin.write("PASS\n")
         self.proc.stdin.flush()
-        return self._read("@@RESULT ")
+        timeout_s = float(os.environ.get("BENCH_PASS_TIMEOUT", "900"))
+        return self._read("@@RESULT ", timeout_s=timeout_s)
 
     def close(self) -> None:
         try:
@@ -495,6 +517,7 @@ def run_scaling(rows: int, profile: dict, tag: str, pairs: int) -> dict:
     big.wait_ready()
     small.wait_ready()
     pair_results = []
+    timed_out = False
     try:
         for i in range(pairs):
             b = big.timed_pass()
@@ -506,6 +529,16 @@ def run_scaling(rows: int, profile: dict, tag: str, pairs: int) -> dict:
                 f"small {s['wall_sec']}s, eff {eff_i:.3f}",
                 file=sys.stderr,
             )
+    except PassTimeout as e:
+        # a wedged task would otherwise hang the whole bench forever;
+        # keep the completed pairs, kill both servers, report honestly
+        timed_out = True
+        print(f"[bench] {tag}: {e} — leg truncated after "
+              f"{len(pair_results)}/{pairs} pairs", file=sys.stderr)
+        big.proc.kill()
+        small.proc.kill()
+        if not pair_results:
+            raise
     finally:
         big.close()
         small.close()
@@ -552,6 +585,7 @@ def run_scaling(rows: int, profile: dict, tag: str, pairs: int) -> dict:
         "sink_counts": best_big["sink_counts"],
         "walls_small": [p["wall_sec"] for p in smalls],
         "walls_big": [p["wall_sec"] for p in bigs],
+        "timed_out": timed_out,
         "protocol": "interleaved big/small pairs, persistent JVMs, 2 warm-up "
         "passes/level; eff = best_big/(4*best_small) (min wall per level = "
         "converging estimate under additive noise); median of per-pair "
