@@ -48,7 +48,7 @@ BENCH_PIPELINE_ROWS (default 16_000_000), BENCH_ROUTED_ROWS (default
 (default 5), BENCH_PAIRS_SKEW (default 3), BENCH_SKIP_SCALING=1,
 BENCH_SKIP_ROUTED=1, BENCH_SKIP_SKEW=1, BENCH_PASS_TIMEOUT (default 900s
 per timed pass; a wedged pass truncates the leg, keeping finished
-pairs).
+pairs), BENCH_READY_TIMEOUT (default 2700s for warm-up+generation).
 """
 
 from __future__ import annotations
@@ -122,7 +122,7 @@ def run_headline(sf_dir: str, cpus: int) -> tuple[dict, dict]:
     """Per-query single-plan walls. One untimed warm-up action first
     (JVM JIT, codegen, parquet footer cache) so the first query's wall
     measures its plan, not session startup; then best-of-K per query
-    (K = BENCH_HEADLINE_PASSES, default 2) with every wall recorded —
+    (K = BENCH_HEADLINE_PASSES, default 3 — CLAUDE.md K>=3 rule) with every wall recorded —
     the shared host varies up to 3x on identical passes, so
     round-over-round deltas on single-shot walls were pure noise."""
     import __spark_entry__ as entry_mod
@@ -132,7 +132,7 @@ def run_headline(sf_dir: str, cpus: int) -> tuple[dict, dict]:
         app_name="bench_headline", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
     )
     queries = entry_mod.queries()
-    n_passes = int(os.environ.get("BENCH_HEADLINE_PASSES", "2"))
+    n_passes = int(os.environ.get("BENCH_HEADLINE_PASSES", "3"))
     # warm-up: scan+aggregate over the main input to exercise codegen,
     # shuffle machinery and the Python worker pool, untimed
     from pyspark.sql import functions as F
@@ -436,9 +436,16 @@ class PassTimeout(RuntimeError):
 
 
 class _Server:
-    """Handle on a persistent pipeline_server child."""
+    """Handle on a persistent pipeline_server child. Lines are drained
+    by a dedicated reader thread into a queue — select() on the raw fd
+    would race the TextIOWrapper's buffer (a marker line already
+    buffered behind a stray line is invisible to select and would fire
+    a spurious watchdog timeout)."""
 
     def __init__(self, cpus: int, rows: int, input_path: str, profile: dict):
+        import queue
+        import threading
+
         self.cpus = cpus
         self.proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--pipeline-server",
@@ -446,22 +453,35 @@ class _Server:
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             text=True, cwd=REPO,
         )
+        self._lines: queue.Queue[str | None] = queue.Queue()
+
+        def _drain(stdout, q):
+            for line in stdout:
+                q.put(line)
+            q.put(None)  # EOF sentinel
+
+        self._reader = threading.Thread(
+            target=_drain, args=(self.proc.stdout, self._lines), daemon=True
+        )
+        self._reader.start()
 
     def _read(self, marker: str, timeout_s: float | None = None) -> dict:
-        import select
+        import queue
 
         deadline = time.monotonic() + timeout_s if timeout_s else None
         while True:
-            if deadline is not None:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0 or not select.select(
-                    [self.proc.stdout], [], [], remaining
-                )[0]:
-                    raise PassTimeout(
-                        f"local[{self.cpus}] pass exceeded {timeout_s:.0f}s watchdog"
-                    )
-            line = self.proc.stdout.readline()
-            if not line:
+            remaining = deadline - time.monotonic() if deadline is not None else None
+            if remaining is not None and remaining <= 0:
+                raise PassTimeout(
+                    f"local[{self.cpus}] pass exceeded {timeout_s:.0f}s watchdog"
+                )
+            try:
+                line = self._lines.get(timeout=remaining)
+            except queue.Empty:
+                raise PassTimeout(
+                    f"local[{self.cpus}] pass exceeded {timeout_s:.0f}s watchdog"
+                ) from None
+            if line is None:
                 raise RuntimeError(
                     f"pipeline server local[{self.cpus}] exited "
                     f"(rc={self.proc.poll()})"
@@ -470,8 +490,13 @@ class _Server:
                 return json.loads(line[len(marker):])
 
     def wait_ready(self) -> dict:
-        # warm-ups include possible input/model generation: no watchdog
-        return self._read("@@READY ")
+        # warm-ups include possible input/model generation, so the
+        # ready watchdog is generous — but not absent: the wedged-task
+        # failure mode can strike a warm-up pass just as well as a
+        # timed one, and an unguarded readline would hang the whole
+        # capture forever
+        timeout_s = float(os.environ.get("BENCH_READY_TIMEOUT", "2700"))
+        return self._read("@@READY ", timeout_s=timeout_s)
 
     def timed_pass(self) -> dict:
         self.proc.stdin.write("PASS\n")
@@ -514,11 +539,11 @@ def run_scaling(rows: int, profile: dict, tag: str, pairs: int) -> dict:
     # level runs, the other's JVM is idle on a blocking stdin read.
     big = _Server(big_cpus, rows, input_path, profile)
     small = _Server(small_cpus, rows, input_path, profile)
-    big.wait_ready()
-    small.wait_ready()
     pair_results = []
     timed_out = False
     try:
+        big.wait_ready()
+        small.wait_ready()
         for i in range(pairs):
             b = big.timed_pass()
             s = small.timed_pass()
@@ -645,24 +670,43 @@ def main() -> None:
 
     timings, headline_walls = run_headline(sf_dir, cpus)
 
+    def _leg(tag: str, fn) -> dict:
+        """A leg that dies (wedged warm-up, server crash) must not
+        discard the headline timings and the other legs — record the
+        error in the capture and move on."""
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — capture must survive
+            print(f"[bench] {tag} leg failed: {e}", file=sys.stderr)
+            return {"error": f"{type(e).__name__}: {e}"}
+
     scaling: dict = {}
     pipeline: dict = {}
     routed: dict = {}
     skew: dict = {}
     if os.environ.get("BENCH_SKIP_SCALING", "") != "1":
-        scaling = run_scaling(rows, MAIN_PROFILE, "main", _pairs("MAIN", 5))
-        pipeline = {
-            "rows": scaling["rows"],
-            "turns_per_sec": scaling["turns_per_sec_big"],
-        }
-    if os.environ.get("BENCH_SKIP_ROUTED", "") != "1":
-        routed = run_scaling(routed_rows, ROUTED_PROFILE, "routed", _pairs("ROUTED", 5))
-        routed["all_sinks_nonzero"] = all(
-            routed["sink_counts"].get(s, 0) > 0
-            for s in ("anomalous", "drifting", "nominal")
+        scaling = _leg(
+            "main", lambda: run_scaling(rows, MAIN_PROFILE, "main", _pairs("MAIN", 5))
         )
+        if "error" not in scaling:
+            pipeline = {
+                "rows": scaling["rows"],
+                "turns_per_sec": scaling["turns_per_sec_big"],
+            }
+    if os.environ.get("BENCH_SKIP_ROUTED", "") != "1":
+        routed = _leg(
+            "routed",
+            lambda: run_scaling(routed_rows, ROUTED_PROFILE, "routed", _pairs("ROUTED", 5)),
+        )
+        if "error" not in routed:
+            routed["all_sinks_nonzero"] = all(
+                routed["sink_counts"].get(s, 0) > 0
+                for s in ("anomalous", "drifting", "nominal")
+            )
     if os.environ.get("BENCH_SKIP_SKEW", "") != "1":
-        skew = run_scaling(skew_rows, SKEW_PROFILE, "skew", _pairs("SKEW", 3))
+        skew = _leg(
+            "skew", lambda: run_scaling(skew_rows, SKEW_PROFILE, "skew", _pairs("SKEW", 3))
+        )
 
     deltas: dict = {}
     prev = _prev_bench_queries()
@@ -687,7 +731,7 @@ def main() -> None:
         "queries": timings,
         "headline_walls": headline_walls,
         "headline_protocol": "untimed warm-up action, then best-of-"
-        f"{os.environ.get('BENCH_HEADLINE_PASSES', '2')} per query (all walls above)",
+        f"{os.environ.get('BENCH_HEADLINE_PASSES', '3')} per query (all walls above)",
         "sf": sf_val,
         "pipeline": pipeline,
         "scaling": scaling,

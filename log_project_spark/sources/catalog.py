@@ -115,11 +115,17 @@ class TableCatalog:
         # recorded since the last overwrite
         current = self._data_files(name)
         seen: set[str] = set()
+        tracked = True
         for snap in meta:
             if snap["mode"] != "append":
-                seen = set()
-            seen |= set(snap.get("files_added", []))
-        added = [f for f in current if f not in seen]
+                seen, tracked = set(), True
+            if "files_added" not in snap:
+                # pre-file-tracking ledger entry: the baseline is
+                # unknowable, so the delta must not be guessed —
+                # record None and let read_incremental fail loud
+                tracked = False
+            seen |= set(snap.get("files_added") or [])
+        added = [f for f in current if f not in seen] if tracked else None
         meta.append(
             {
                 "snapshot_id": len(meta) + 1,
@@ -155,7 +161,16 @@ class TableCatalog:
                     f"{snap['snapshot_id']} ({snap['mode']}) — re-baseline "
                     "the consumer from a full read"
                 )
-            files.extend(snap.get("files_added", []))
+            if snap.get("files_added") is None:
+                # ledger written before (or polluted by) pre-tracking
+                # snapshots: returning a guessed delta would silently
+                # drop or duplicate rows
+                raise ValueError(
+                    f"snapshot {snap['snapshot_id']} has no file manifest "
+                    "(ledger predates file tracking) — re-baseline the "
+                    "consumer from a full read"
+                )
+            files.extend(snap["files_added"])
         root = self._path(name)
         if not files:
             return self.read(name).limit(0)
@@ -172,7 +187,11 @@ class TableCatalog:
         per-sink fan-outs accumulate small files; scan cost at 100 TB
         is driven by file count as much as bytes. Writes to a temp
         location, then swaps — Spark cannot safely read and overwrite
-        the same path in one job. Returns the new file count."""
+        the same path in one job. The swap is two renames, NOT atomic:
+        a crash between them leaves the data recoverable in
+        <path>.compact.old / .compact.tmp but the table path missing
+        (real Iceberg's metadata-pointer commit is atomic; this shim's
+        honest limitation). Returns the new file count."""
         import shutil
 
         if self.iceberg:
@@ -197,6 +216,7 @@ class TableCatalog:
             w = w.partitionBy(*part_by)
         w.parquet(tmp)
         old = f"{root}.compact.old"
+        shutil.rmtree(old, ignore_errors=True)  # stale from a crashed compact
         os.rename(root, old)
         os.rename(tmp, root)
         shutil.rmtree(old)
