@@ -328,3 +328,68 @@ def test_streaming_dedup_watermark_bounded_state(spark, tmp_path):
     tags = sorted(r["tag"] for r in rows)
     assert "dup-within-delay" not in tags
     assert tags == ["advance", "first", "re-occurrence-after-expiry", "settle"]
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """Backs session_window_stats's streaming-readiness claim: the
+    same session_window expression under readStream + watermark
+    produces, once all batches are processed, exactly the batch
+    rollup (closed sessions emit in append mode as the watermark
+    passes; processAllAvailable + a final far-future event flushes
+    the rest)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    # two sessions for user 1 (gap 2h), one for user 2
+    events = [
+        (1, t0), (1, t0 + timedelta(minutes=5)),
+        (2, t0 + timedelta(minutes=1)),
+        (1, t0 + timedelta(hours=2)),
+    ]
+    flush = [(99, t0 + timedelta(days=2), )]  # advances watermark past all
+    batches = [events[:2], events[2:], [(u, ts) for u, ts in flush]]
+    src = str(tmp_path / "in")
+    _feed_files(
+        spark, src, batches,
+        lambda rows: spark.createDataFrame(rows, "user_id long, ts timestamp"),
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", "1800 seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+        if r["user_id"] != 99
+    )
+    # batch truth via the library operator
+    from log_project_spark.operators import sessionize
+
+    batch = sorted(
+        (r["user_id"], r["n_events"])
+        for r in sessionize.session_window_stats(
+            spark.createDataFrame(events, "user_id long, ts timestamp"),
+            gap_seconds=1800,
+        ).collect()
+    )
+    assert got == batch == [(1, 1), (1, 2), (2, 1)]
