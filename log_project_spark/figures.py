@@ -63,6 +63,53 @@ def _nice_ticks(ymax: float, n: int = 5) -> list[float]:
     return [i * step for i in range(int(ymax / step) + 1)]
 
 
+def _svg_open(width: int, height: int) -> list[str]:
+    """SVG header + background shared by every chart so the figure set
+    reads as one system."""
+    return [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
+        f'viewBox="0 0 {width} {height}" font-family="Helvetica, Arial, sans-serif">',
+        f'<rect width="{width}" height="{height}" fill="#fcfcfb"/>',
+    ]
+
+
+def _tick_grid(parts, ticks, sy, ml, plot_w, metric) -> None:
+    """Recessive dashed y-grid behind the marks (axisbelow + grid '--')
+    with right-aligned tick labels — shared by all bar renderers."""
+    for t in ticks:
+        y = sy(t)
+        parts.append(
+            f'<line x1="{ml}" y1="{y:.1f}" x2="{ml + plot_w}" y2="{y:.1f}" '
+            f'stroke="{GRID_COLOR}" stroke-width="1" stroke-dasharray="5,4" opacity="0.35"/>'
+        )
+        parts.append(
+            f'<text x="{ml - 8}" y="{y + 4:.1f}" text-anchor="end" font-size="12" '
+            f'fill="{MUTED_INK}">{_fmt_tick(metric, t)}</text>'
+        )
+
+
+def _axis_and_ylabel(parts, ml, mt, plot_w, plot_h, ylabel) -> None:
+    """Baseline x-axis + rotated y-axis label — shared."""
+    parts.append(
+        f'<line x1="{ml}" y1="{mt + plot_h}" x2="{ml + plot_w}" y2="{mt + plot_h}" '
+        f'stroke="{INK}" stroke-width="1.2"/>'
+    )
+    parts.append(
+        f'<text x="18" y="{mt + plot_h / 2:.1f}" font-size="13" fill="{INK}" '
+        f'transform="rotate(-90 18 {mt + plot_h / 2:.1f})" text-anchor="middle">'
+        f"{escape(ylabel)}</text>"
+    )
+
+
+def _write_svg(parts: list[str], out_path: str) -> str:
+    parts.append("</svg>")
+    svg = "\n".join(parts)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write(svg + "\n")
+    return svg
+
+
 def render_bar_svg(
     labels: list[str],
     values: list[float],
@@ -89,22 +136,8 @@ def render_bar_svg(
     def sy(v: float) -> float:  # value -> y pixel
         return mt + plot_h - (v / ymax) * plot_h
 
-    parts = [
-        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
-        f'viewBox="0 0 {width} {height}" font-family="Helvetica, Arial, sans-serif">',
-        f'<rect width="{width}" height="{height}" fill="#fcfcfb"/>',
-    ]
-    # recessive dashed y-grid behind the marks (axisbelow + grid '--')
-    for t in ticks:
-        y = sy(t)
-        parts.append(
-            f'<line x1="{ml}" y1="{y:.1f}" x2="{ml + plot_w}" y2="{y:.1f}" '
-            f'stroke="{GRID_COLOR}" stroke-width="1" stroke-dasharray="5,4" opacity="0.35"/>'
-        )
-        parts.append(
-            f'<text x="{ml - 8}" y="{y + 4:.1f}" text-anchor="end" font-size="12" '
-            f'fill="{MUTED_INK}">{_fmt_tick(metric, t)}</text>'
-        )
+    parts = _svg_open(width, height)
+    _tick_grid(parts, ticks, sy, ml, plot_w, metric)
     # bars + per-bar value labels (reference parity)
     for i, (lab, v) in enumerate(zip(labels, values)):
         x = ml + i * slot + (slot - bar_w) / 2
@@ -122,22 +155,8 @@ def render_bar_svg(
                 f'<text x="{x + bar_w / 2:.1f}" y="{mt + plot_h + 22 + j * 15}" '
                 f'text-anchor="middle" font-size="12" fill="{INK}">{escape(line)}</text>'
             )
-    # baseline axis + y label
-    parts.append(
-        f'<line x1="{ml}" y1="{mt + plot_h}" x2="{ml + plot_w}" y2="{mt + plot_h}" '
-        f'stroke="{INK}" stroke-width="1.2"/>'
-    )
-    parts.append(
-        f'<text x="18" y="{mt + plot_h / 2:.1f}" font-size="13" fill="{INK}" '
-        f'transform="rotate(-90 18 {mt + plot_h / 2:.1f})" text-anchor="middle">'
-        f"{escape(ylabel)}</text>"
-    )
-    parts.append("</svg>")
-    svg = "\n".join(parts)
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    with open(out_path, "w", encoding="utf-8") as f:
-        f.write(svg + "\n")
-    return svg
+    _axis_and_ylabel(parts, ml, mt, plot_w, plot_h, ylabel)
+    return _write_svg(parts, out_path)
 
 
 CAL_COLORS = {  # calibration hue key (grouped charts); C0/C1 cycle
@@ -190,22 +209,11 @@ def render_grouped_bar_svg(
     def sy(v: float) -> float:
         return mt + plot_h - (v / ymax) * plot_h
 
-    parts = [
-        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
-        f'viewBox="0 0 {width} {height}" font-family="Helvetica, Arial, sans-serif">',
-        f'<rect width="{width}" height="{height}" fill="#fcfcfb"/>',
-        f'<text x="{ml}" y="22" font-size="15" fill="{INK}">{escape(title)}</text>',
-    ]
-    for t in ticks:
-        y = sy(t)
-        parts.append(
-            f'<line x1="{ml}" y1="{y:.1f}" x2="{ml + plot_w}" y2="{y:.1f}" '
-            f'stroke="{GRID_COLOR}" stroke-width="1" stroke-dasharray="5,4" opacity="0.35"/>'
-        )
-        parts.append(
-            f'<text x="{ml - 8}" y="{y + 4:.1f}" text-anchor="end" font-size="12" '
-            f'fill="{MUTED_INK}">{_fmt_tick(metric, t)}</text>'
-        )
+    parts = _svg_open(width, height)
+    parts.append(
+        f'<text x="{ml}" y="22" font-size="15" fill="{INK}">{escape(title)}</text>'
+    )
+    _tick_grid(parts, ticks, sy, ml, plot_w, metric)
     x = float(ml) + group_pad / 2
     for dataset, bars in groups:
         gx0 = x
@@ -241,21 +249,8 @@ def render_grouped_bar_svg(
             f'<text x="{lx + 18}" y="{ly + 10}" font-size="12" fill="{INK}">'
             f"{escape(cal)}</text>"
         )
-    parts.append(
-        f'<line x1="{ml}" y1="{mt + plot_h}" x2="{ml + plot_w}" y2="{mt + plot_h}" '
-        f'stroke="{INK}" stroke-width="1.2"/>'
-    )
-    parts.append(
-        f'<text x="18" y="{mt + plot_h / 2:.1f}" font-size="13" fill="{INK}" '
-        f'transform="rotate(-90 18 {mt + plot_h / 2:.1f})" text-anchor="middle">'
-        f"{escape(ylabel)}</text>"
-    )
-    parts.append("</svg>")
-    svg = "\n".join(parts)
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    with open(out_path, "w", encoding="utf-8") as f:
-        f.write(svg + "\n")
-    return svg
+    _axis_and_ylabel(parts, ml, mt, plot_w, plot_h, ylabel)
+    return _write_svg(parts, out_path)
 
 
 def make_multi_plots(
