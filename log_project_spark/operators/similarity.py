@@ -255,7 +255,12 @@ def pairwise_cosine_pandas(
     out_col: str = "cos",
 ) -> DataFrame:
     """Arrow-vectorized matrix path: one BLAS matvec per batch. Use for
-    wide vectors (>256 dims) where the expression-tree fold gets slow."""
+    wide vectors (>256 dims) where the expression-tree fold gets slow.
+
+    Zero-vector parity (VERDICT r3 #4): a zero-norm row yields NULL,
+    exactly like `cosine_to_query`'s Catalyst path, so `topk_cosine`'s
+    dim>=64 auto-switch cannot change how a zero vector ranks (NULL
+    sorts last under the descending order either way)."""
     q = np.asarray(query, dtype=np.float64)
     qn = float(np.linalg.norm(q))
 
@@ -265,7 +270,10 @@ def pairwise_cosine_pandas(
             M = np.stack(s.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
             dots = M @ q
             norms = np.linalg.norm(M, axis=1)
-            norms[norms == 0] = 1.0
-            yield pd.Series(dots / (norms * qn), index=s.index)
+            zero = norms == 0
+            norms[zero] = 1.0
+            out = pd.array(dots / (norms * qn), dtype="Float64")
+            out[zero] = pd.NA  # Arrow null, not NaN: matches the expr path's NULL
+            yield pd.Series(out, index=s.index)
 
     return df.withColumn(out_col, cos_udf(F.col(vec_col)))

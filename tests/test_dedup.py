@@ -40,6 +40,56 @@ def test_dedup_exact_keeps_min_id(spark, docs_df):
     assert ids == [0, 1, 2, 4, 5]
 
 
+def test_dedup_exact_shuffles_hash_not_payload(spark, docs_df):
+    """VERDICT r3 #1: the window exchange must partition on the 8-byte
+    xxhash64 key, never on the text payload."""
+    out = dedup.dedup_exact(docs_df, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    part_lines = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+    assert part_lines, plan
+    for ln in part_lines:
+        inner = ln.split("hashpartitioning(", 1)[1]
+        assert "__kh__" in inner, ln
+        assert "text#" not in inner, ln
+
+
+def test_exact_dup_groups_full_pass_drops_payload(spark, docs_df):
+    """VERDICT r3 #1: the full-table aggregate runs over an (8-byte
+    hash, id) projection — no shuffle in the plan keys on the text
+    column; text only re-enters for the candidate-group resolution,
+    where it is grouped TOGETHER WITH the hash (exact equality guard)."""
+    out = dedup.exact_dup_groups(docs_df, "text", "doc_id")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # every Aggregate grouping set that mentions text must also carry the hash
+    for ln in plan.splitlines():
+        ls = ln.strip()
+        if ls.startswith("Aggregate ["):
+            keys = ls.split("[", 1)[1].split("]")[0]
+            if "text#" in keys:
+                assert "__kh__" in keys, ln
+
+
+def test_dedup_exact_distinct_keys_in_one_hash_partition(spark):
+    """Collision safety of the key-run logic: distinct keys that land
+    in the same window partition (here: all rows, partition key forced
+    equal is emulated by tiny parallelism) each keep their min id."""
+    rows = [(i, f"text-{i % 3}") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(df, "text", "doc_id").collect())
+    assert kept == [0, 1, 2]
+
+
+def test_jaccard_hash_items_parity(spark, docs_df):
+    """VERDICT r3 #5: the xxhash64 item-key join (default) returns the
+    same pairs/values as the byte-exact string join."""
+    hashed = dedup.jaccard_pairs(docs_df, threshold=0.5, hash_items=True)
+    exact = dedup.jaccard_pairs(docs_df, threshold=0.5, hash_items=False)
+    as_map = lambda df: {(r["id_a"], r["id_b"]): r["jaccard"] for r in df.collect()}
+    assert as_map(hashed) == as_map(exact)
+    plan = hashed._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan
+
+
 def test_jaccard_pairs_match_bruteforce(spark, docs_df):
     got = {
         (r["id_a"], r["id_b"]): r["jaccard"]

@@ -90,6 +90,27 @@ def test_pandas_matrix_path_matches_expression_path(spark, emb_df, vectors):
         assert arrow[i] == pytest.approx(expr[i], abs=1e-9)
 
 
+def test_zero_vector_null_parity_both_paths(spark):
+    """VERDICT r3 #4: a zero vector must yield NULL cosine (not 0.0) in
+    BOTH implementations, at dim>=64 where topk_cosine auto-switches to
+    the pandas path — so the switch cannot change how zero rows rank."""
+    dim = 64
+    rng = np.random.default_rng(7)
+    rows = [(0, [0.0] * dim)] + [
+        (i, [float(x) for x in rng.standard_normal(dim)]) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in rng.standard_normal(dim)]
+    expr = {r["vec_id"]: r["cos"] for r in sim.cosine_to_query(df, q).select("vec_id", "cos").collect()}
+    arrow = {r["vec_id"]: r["cos"] for r in sim.pairwise_cosine_pandas(df, q).select("vec_id", "cos").collect()}
+    assert expr[0] is None and arrow[0] is None
+    for i in range(1, 5):
+        assert arrow[i] == pytest.approx(expr[i], abs=1e-9)
+    # and the auto (pandas) top-k ranks the zero row last, like expr would
+    topk = sim.topk_cosine(df, q, k=5).collect()
+    assert topk[-1]["vec_id"] == 0 and topk[-1]["cos"] is None
+
+
 def test_ivf_topk_matches_bruteforce_within_cells(spark):
     """ivf_topk == exact top-k restricted to the probed cells; with
     n_probe = |cells| it equals the global brute force."""
