@@ -739,7 +739,49 @@ def main() -> None:
         "skew": skew,
         "deltas_vs_prev": deltas,
     }
-    print(json.dumps(out))
+    # The full result object is written to a file as the LAST act
+    # (VERDICT r3 #2: the driver's stdout capture keeps only a ~2000-char
+    # tail, which truncated round 3's record mid-field); stdout gets one
+    # COMPACT JSON line that fits the tail budget and points at the file.
+    full_path = os.path.join(REPO, "BENCH", "latest_result.json")
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+
+    def _leg_summary(leg: dict) -> dict:
+        if not leg:
+            return {}
+        if "error" in leg:
+            return {"error": leg["error"]}
+        s = {
+            "eff_best_walls": leg.get("eff_best_walls"),
+            "eff_median": leg.get("eff_median"),
+            "turns_per_sec_big": leg.get("turns_per_sec_big"),
+            "sink_counts_equal": leg.get("sink_counts_equal"),
+            "timed_out": leg.get("timed_out"),
+        }
+        if "all_sinks_nonzero" in leg:
+            s["all_sinks_nonzero"] = leg["all_sinks_nonzero"]
+        if "straggle_big" in leg:
+            s["straggle_ratio_big"] = leg["straggle_big"].get("ratio")
+        return s
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_val,
+        "pipeline": pipeline,
+        "legs": {
+            "main": _leg_summary(scaling),
+            "routed": _leg_summary(routed),
+            "skew": _leg_summary(skew),
+        },
+        "full_result": "BENCH/latest_result.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -47,6 +47,12 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--out-dir", default="", help="fan-out sink root (anomalous/drifting/nominal)")
     ap.add_argument("--checkpoint-root", default="", help="resumable stage checkpoint root")
     ap.add_argument("--summary-out", dest="summary_out", default="")
+    ap.add_argument(
+        "--check-summary", action="store_true",
+        help="after append, validate the whole summary ledger against the "
+        "reference CI gate (scripts/check_summary.py: p95<=p99, TPR "
+        "numeric-or-NA policy); exits non-zero on violation",
+    )
     ap.add_argument("--scores-out", default="", help="per-event scores CSV trace")
     ap.add_argument("--sleep-ms", type=float, default=0.0, help="per-event pacing simulation")
     ap.add_argument(
@@ -124,6 +130,17 @@ def main(argv: list[str] | None = None) -> None:
         formats.append_summary_csv(
             summary_from_result(spark, res, cfg, dataset), args.summary_out
         )
+        if args.check_summary:
+            from log_project_spark import reporting
+
+            ledger = spark.read.option("header", True).csv(args.summary_out)
+            try:
+                reporting.check_summary(ledger)
+            except ValueError as e:
+                raise SystemExit(f"[run_pipeline] {e}") from e
+            print("[run_pipeline] summary ledger check: OK", file=sys.stderr)
+    elif args.check_summary:
+        raise SystemExit("--check-summary requires --summary-out")
     if args.scores_out:
         trace = res.scored.withColumn(
             "event_idx", F.col("turn_idx").cast("long")

@@ -181,8 +181,11 @@ def render_grouped_bar_svg(
 ) -> str:
     """Grouped multi-series bar chart (VERDICT r2 #6): one x-group per
     dataset, one bar per (mode, calibration) config inside it, bar hue
-    keyed by calibration with a legend. Bars carry the reference's
-    one_decimal value labels with a 1%-of-max pad
+    keyed by calibration with a legend. The grouped/hued/legend form is
+    an ENHANCEMENT over the reference's bar_plot, which draws flat
+    single-hue bars with combined x-labels (ADVICE r3 — parity holds
+    for the data pipeline, not this chart form). Bars carry the
+    reference's one_decimal value labels with a 1%-of-max pad
     (make_multi_plots_v2.py:146-158); grid/axis styling matches
     render_bar_svg so the figure set reads as one system.
 
@@ -260,11 +263,16 @@ def make_multi_plots(
     collapse: str = "last",
     drop_zero: bool = True,
 ) -> dict[str, str]:
-    """The reference's multi-config charts (make_multi_plots_v2.py
-    bar_plot + main): calibration filter -> zero-latency drop ->
-    collapse last|median|none -> smart order, one grouped chart per
-    metric with calibration-keyed hues and a legend. Returns metric ->
-    file path; metrics where every row is NA are skipped."""
+    """Multi-config charts over the reference's v2 data pipeline.
+
+    The DATA SHAPING is make_multi_plots_v2.py parity (calibration
+    filter -> zero-latency drop -> collapse last|median|none -> smart
+    order, main:215-240); the RENDERING is an extension, not parity
+    (ADVICE r3): the reference's bar_plot draws single-hue flat bars
+    with combined dataset/mode/cal x-labels and no legend, while this
+    renderer groups bars per dataset with calibration-keyed hues and a
+    legend. Returns metric -> file path; metrics where every row is NA
+    are skipped."""
     rows = reporting.multi_config_shape(
         summary, calibrations=calibrations, collapse=collapse, drop_zero=drop_zero
     ).collect()

@@ -93,7 +93,15 @@ class HashedTfidf:
         if doc_weights is not None:
             w64 = np.asarray(doc_weights, dtype=np.float64)
             n_docs = float(w64.sum())
-            if n_docs < float(1 << 24) and bool(np.all(w64 == np.rint(w64))):
+            # non-negativity is part of the exactness proof (ADVICE r3):
+            # with signed weights the SUM can stay small while individual
+            # partial sums exceed 2^24 in magnitude — send those to the
+            # float64 fallback
+            if (
+                n_docs < float(1 << 24)
+                and bool(np.all(w64 >= 0))
+                and bool(np.all(w64 == np.rint(w64)))
+            ):
                 present = (X > 0).astype(np.float32)
                 df = (present.T @ w64.astype(np.float32)).astype(np.float64)
             else:

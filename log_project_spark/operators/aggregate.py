@@ -66,7 +66,17 @@ def exact_percentile_distributed(
         (every target k must be present and all rows must agree on n).
         persist_arranged=True materializes the narrow (v, pid, lrn)
         projection so both consumers read identical data regardless of
-        exchange reuse."""
+        exchange reuse.
+
+        Residual gap (ADVICE r3): this runtime check detects missing
+        ks and disagreeing n, but NOT a split exchange whose two
+        branches are each internally consistent yet offset-shifted —
+        every k could be found with one n and still carry wrong
+        values. Correctness therefore rests on the ReusedExchange plan
+        assertion (tests/test_aggregate.py::
+        test_exact_percentile_distributed_reuses_range_exchange) plus
+        the persisted fallback, which is reuse-independent by
+        construction; this check is a cheap tripwire, not the proof."""
         arranged = (
             vals.repartitionByRange(num_partitions, "__v__")
             .sortWithinPartitions("__v__")

@@ -208,7 +208,20 @@ class TableCatalog:
             os.path.getsize(os.path.join(root, f)) for f in self._data_files(name)
         )
         n_files = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
-        df = self.read(name)
+        # Read with partition-directory type inference OFF (ADVICE r3):
+        # inference re-types directory values on read ('01' -> int 1,
+        # date-like strings -> DATE) and the rewrite re-encodes them,
+        # silently changing a partition value that doesn't round-trip.
+        # With inference disabled the partition columns stay strings
+        # and the directory names are rewritten byte-identically.
+        # Consumers are unaffected: their own reads re-infer as before.
+        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev_infer = self.spark.conf.get(infer_key)
+        self.spark.conf.set(infer_key, "false")
+        try:
+            df = self.read(name)  # partition schema resolves here, inference off
+        finally:
+            self.spark.conf.set(infer_key, prev_infer)
         df = df.repartition(n_files, *part_by) if part_by else df.repartition(n_files)
         tmp = f"{root}.compact.tmp"
         w = df.write.mode("overwrite")

@@ -171,11 +171,66 @@ def test_job_cli_reference_artifacts(spark, tmp_path):
         "--tokens-json", "/root/reference/data/mini_tokens.json",
         "--mode", "len", "--warmup", "2", "--window", "100",
         "--summary-out", str(summary), "--scores-out", str(scores),
+        "--check-summary",  # the appended mini_tokens row must clear the CI gate
     ])
     lines = summary.read_text().splitlines()
     assert len(lines) == 2 and lines[0].startswith("date,commit,dataset")
     assert "mini_tokens" in lines[1]
     assert len(scores.read_text().splitlines()) == 6  # header + 5 events
+
+
+def _ledger(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "dataset string, mode string, calibration string, "
+        "TPR_at_1pct_FPR string, p95_ms string, p99_ms string, eps string",
+    )
+
+
+def test_check_summary_gate(spark):
+    """Port of /root/reference/scripts/check_summary.py:31-58: p95<=p99
+    per row; TPR 'NA' only for mini_tokens, numeric otherwise, and
+    synth_tokens TPR decimals must be exactly 4."""
+    import pytest
+
+    from log_project_spark import reporting
+
+    clean = _ledger(spark, [
+        ("synth_tokens", "baseline", "conformal", "0.9123", "3.5", "3.8", "314.3"),
+        ("mini_tokens", "baseline", "no_calib", "NA", "1.0", "2.0", "100.0"),
+        ("synth_transcripts", "baseline", "conformal", "1", "0.1", "0.2", "99.0"),
+    ])
+    reporting.check_summary(clean)  # silent on a clean ledger
+
+    bad = _ledger(spark, [
+        ("synth_tokens", "baseline", "conformal", "0.9123", "4.0", "3.8", "314.3"),   # p95>p99
+        ("synth_tokens", "baseline", "no_calib", "NA", "1.0", "2.0", "100.0"),        # NA outside mini
+        ("synth_tokens", "transformer", "conformal", "0.91", "1.0", "2.0", "50.0"),   # 2 decimals, needs 4
+        ("mini_tokens", "baseline", "conformal", "NA", "oops", "2.0", "10.0"),        # non-numeric p95
+    ])
+    v = {(r["kind"], r["mode"]) for r in reporting.summary_violations(bad).collect()}
+    assert v == {
+        ("p95_gt_p99_or_non_numeric", "baseline"),
+        ("tpr_policy", "baseline"),
+        ("tpr_policy", "transformer"),
+    }
+    with pytest.raises(ValueError, match="constraint violations"):
+        reporting.check_summary(bad)
+
+    # float-format slack: p95 above p99 by more than 1e-9 violates;
+    # equality or sub-1e-9 jitter does not
+    above = _ledger(spark, [
+        ("synth_tokens", "baseline", "conformal", "0.9123", "3.81", "3.8", "1.0"),
+    ])
+    assert reporting.summary_violations(above).where("kind like 'p95%'").count() == 1
+    for p95 in ("3.8", "3.8000000000001"):
+        tiny = _ledger(spark, [
+            ("synth_tokens", "baseline", "conformal", "0.9123", p95, "3.8", "1.0"),
+        ])
+        reporting.check_summary(tiny)
+
+    with pytest.raises(ValueError, match="missing required columns"):
+        reporting.check_summary(clean.drop("eps"))
 
 
 def test_figures_render_reference_parity(spark, tmp_path):
@@ -391,3 +446,24 @@ def test_catalog_incremental_read_and_compaction(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="non-append"):
         c.read_incremental("t", snap1)
+
+
+def test_catalog_compact_preserves_noninferable_partition_values(spark, tmp_path):
+    """ADVICE r3: compact() must not round-trip partition values
+    through type inference — 'shard=01' would otherwise re-infer to
+    int 1 and be rewritten as 'shard=1', silently changing the value."""
+    c = cat.TableCatalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 20).withColumn(
+        "shard", F.when(F.col("id") < 10, F.lit("01")).otherwise(F.lit("02"))
+    )
+    c.write(df.repartition(4), "t", partition_by=("shard",))
+    dirs_before = {f.split("/")[0] for f in c._data_files("t")}
+    assert dirs_before == {"shard=01", "shard=02"}
+    c.compact("t", target_mb=128)
+    dirs_after = {f.split("/")[0] for f in c._data_files("t")}
+    assert dirs_after == {"shard=01", "shard=02"}
+    assert sorted(r["id"] for r in c.read("t").collect()) == list(range(20))
+    # and the session conf was restored
+    assert spark.conf.get(
+        "spark.sql.sources.partitionColumnTypeInference.enabled"
+    ) == "true"
