@@ -41,6 +41,17 @@ def test_sink_counts_equal_flag_counts(spark, result):
     assert counts.get("nominal", 0) == flags["n_total"] - flags["n_anom"] - flags["n_drift_not_anom"]
 
 
+def test_fanout_returns_only_existing_sink_paths(spark, tmp_path):
+    """ADVICE r2 pin: a sink that received no rows must be ABSENT from
+    the returned dict (its directory doesn't exist; handing consumers
+    the path would fail their read), and every returned path reloads."""
+    rows = [(i, False, False) for i in range(10)]  # everything nominal
+    df = spark.createDataFrame(rows, "turn_idx long, is_anom boolean, is_drift boolean")
+    paths = route.write_fanout(df, str(tmp_path / "sinks"), partition_by=())
+    assert set(paths) == {"nominal"}
+    assert spark.read.parquet(paths["nominal"]).count() == 10
+
+
 def test_written_sinks_reload_to_full_partition(spark, result):
     res, _, out = result
     total = 0

@@ -179,6 +179,35 @@ def test_job_cli_reference_artifacts(spark, tmp_path):
     assert len(scores.read_text().splitlines()) == 6  # header + 5 events
 
 
+def test_figures_all_zero_series_renders_flat(tmp_path):
+    """ADVICE r2 pin: an all-zero series must render a flat chart (ymax
+    floored), not divide by zero — both bar renderers."""
+    from log_project_spark import figures
+
+    p1 = figures.render_bar_svg(["a", "b"], [0.0, 0.0], "y", "eps", str(tmp_path / "z.svg"))
+    assert "<svg" in (tmp_path / "z.svg").read_text()
+    p2 = figures.render_grouped_bar_svg(
+        [("ds", [("baseline", "conformal", 0.0)])], "y", "T", "eps", str(tmp_path / "g.svg")
+    )
+    assert "<svg" in (tmp_path / "g.svg").read_text()
+    assert p1 and p2
+
+
+def test_bench_round_files_sort_numerically(tmp_path, monkeypatch):
+    """ADVICE r2 pin: the prev-round lookup must sort BENCH_r*.json on
+    the round NUMBER — lexicographically BENCH_r10 < BENCH_r2 and the
+    deltas would baseline against the wrong round."""
+    import json as _json
+
+    import bench
+
+    (tmp_path / "BENCH_r2.json").write_text(_json.dumps({"queries": {"q": 2.0}}))
+    (tmp_path / "BENCH_r10.json").write_text(_json.dumps({"queries": {"q": 10.0}}))
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    name, q = bench._prev_bench_queries()
+    assert name == "BENCH_r10.json" and q == {"q": 10.0}
+
+
 def _ledger(spark, rows):
     return spark.createDataFrame(
         rows,
