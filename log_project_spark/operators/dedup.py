@@ -139,19 +139,32 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    hash_buckets: bool = True,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs
     (id_a < id_b, deduplicated across bands). Only buckets with >1 doc
-    are expanded, so the shuffle is bounded by bucket skew, not n^2."""
+    are expanded, so the shuffle is bounded by bucket skew, not n^2.
+
+    `hash_buckets` (default on, r4) joins on `xxhash64(band, concat(m...))`
+    instead of the concatenated md5-hex string — an 8-byte join key
+    instead of a 2x32-char one (the band is baked into the hash so the
+    band equality rides the same long). A 64-bit collision yields one
+    spurious CANDIDATE pair, which the caller's exact verification
+    (Jaccard/cosine) rejects like any other false candidate — LSH
+    candidates are approximate by contract. hash_buckets=False restores
+    the byte-exact string join for audits/oracle parity."""
     bands = num_hashes // band_size
     pieces = []
     for b in range(bands):
         cols = [f"m{b * band_size + j}" for j in range(band_size)]
+        bucket = F.concat(*cols)
+        if hash_buckets:
+            bucket = F.xxhash64(F.lit(b), bucket)
         pieces.append(
             sig.select(
                 F.col(id_col).alias("id"),
                 F.lit(b).alias("band"),
-                F.concat(*cols).alias("bucket"),
+                bucket.alias("bucket"),
             )
         )
     exploded = pieces[0]

@@ -79,6 +79,25 @@ def test_dedup_exact_distinct_keys_in_one_hash_partition(spark):
     assert kept == [0, 1, 2]
 
 
+def test_lsh_hash_buckets_parity(spark, docs_df):
+    """The xxhash64 band-bucket join (default) yields the same
+    candidate pairs as the concatenated md5-hex string join, and the
+    hashed plan joins on longs."""
+    sh = dedup.with_shingles(docs_df, tokens_col="tokens", n=3)
+    sig = dedup.minhash_signature(sh, num_hashes=4)
+    pairs = lambda hb: {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(
+            sig, num_hashes=4, band_size=2, hash_buckets=hb
+        ).collect()
+    }
+    assert pairs(True) == pairs(False)
+    plan = dedup.lsh_candidate_pairs(
+        sig, num_hashes=4, band_size=2
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan
+
+
 def test_jaccard_hash_items_parity(spark, docs_df):
     """VERDICT r3 #5: the xxhash64 item-key join (default) returns the
     same pairs/values as the byte-exact string join."""
