@@ -1117,7 +1117,53 @@ def _corpus_curation_sql(max_hamming: int = 3, n_bands: int = 4, min_q: float = 
     """
 
 
+def q_sample_fraction_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-fraction sample (operators/sampling.py): 20%
+    of documents by the portable md5-prefix hash of doc_id — the same
+    row set at any parallelism, in any engine (no reference
+    counterpart; engine addition for corpus curation)."""
+    from log_project_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.sample_fraction(docs, 0.2, "doc_id", seed=42).select("doc_id", "lang")
+
+
+def q_stratified_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic sample: 20 documents per lang,
+    chosen as the k smallest portable hashes within each stratum."""
+    from log_project_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    got = sampling.stratified_sample_exact(docs, ["lang"], 20, "doc_id", seed=42)
+    return got.select("lang", "doc_id")
+
+
+def q_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout split at 0.8 — per-side counts
+    (leak-free across reruns: a doc_id's side is a pure function of
+    (key, seed))."""
+    from log_project_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    train, hold = sampling.hash_split(docs, 0.8, "doc_id", seed=42)
+    return (
+        train.select(F.lit("train").alias("side"))
+        .unionAll(hold.select(F.lit("holdout").alias("side")))
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _hash60_sql(key: str = "doc_id", seed: int = 42) -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST({key} AS VARCHAR) || '|{seed}'), 1, 15)) AS BIGINT)"
+    )
+
+
 _EXTRA_QUERIES = {
+    "sample_fraction_det": q_sample_fraction_det,
+    "stratified_sample_k": q_stratified_sample_k,
+    "hash_split_counts": q_hash_split_counts,
     "ivf_assign": q_ivf_assign,
     "exact_percentiles_global": q_exact_percentiles_global,
     "approx_percentiles_global": q_approx_percentiles_global,
@@ -1403,6 +1449,25 @@ def oracle_sql() -> dict[str, str]:
     out["jaccard_pairs_capped"] = _jaccard_capped_sql()
     out["embedding_near_dups_lsh"] = _emb_lsh_sql()
     out["near_dup_components"] = _components_sql()
+    from log_project_spark.operators.sampling import fraction_threshold
+
+    out["sample_fraction_det"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_hash60_sql()} < {fraction_threshold(0.2)}
+    """
+    out["stratified_sample_k"] = f"""
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang ORDER BY {_hash60_sql()}, doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 20
+    """
+    out["hash_split_counts"] = f"""
+        SELECT CASE WHEN {_hash60_sql()} < {fraction_threshold(0.8)}
+                    THEN 'train' ELSE 'holdout' END AS side,
+               count(*) AS n
+        FROM documents GROUP BY 1
+    """
     return out
 
 

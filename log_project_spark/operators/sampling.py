@@ -1,0 +1,116 @@
+"""Deterministic sampling for corpus curation.
+
+Training-data pipelines sample constantly — downsampling over-represented
+sources, carving holdout sets, capping per-language document counts.
+`DataFrame.sample` is wrong for that job at 100 TB: its row selection
+depends on partitioning and Spark version, so a re-run (or a re-read
+after compaction) silently yields a different corpus. These operators
+derive selection from a portable content hash instead, so the sampled
+set is a pure function of (key, seed) — identical at any parallelism,
+across reruns, across engines (DuckDB-oracle-checkable), and stable
+under repartition/compaction. The reference has no sampling (it streams
+its whole corpus); these are engine-level additions like dedup/ANN.
+
+Portable hash: first 15 hex chars of md5(key || '|' || seed) as a
+60-bit long (the simhash trick, dedup.token_hash60) — identical in
+Spark (`conv(hex,16,10)`) and DuckDB (`CAST('0x'||hex AS BIGINT)`).
+Selection compares that long against an INTEGER threshold
+floor(p * 2^60), never a float ratio, so engine float semantics cannot
+flip a boundary row.
+
+Scale notes: `sample_fraction` and `hash_split` are pure scan-side
+filters — zero shuffle, no driver state; they compose with partition
+pruning and stay in whole-stage codegen (md5 is a JVM intrinsic
+expression). `stratified_sample_exact` is one shuffle on the strata
+columns (payload rides as value); within each stratum the window sort
+is spillable. Its per-stratum sort is the honest cost of EXACT k — for
+k << |stratum| pass `prefilter_fraction` to pre-thin rows by hash
+before the window (selection is unchanged because the window order is
+the same hash the prefilter cuts on — it keeps a superset of the
+winners as long as every stratum retains >= k rows; sizing guidance in
+the docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 60
+
+
+def hash60(key: Column, seed: int) -> Column:
+    """Portable 60-bit uniform hash of (key, seed); see module doc."""
+    payload = F.concat_ws("|", key.cast("string"), F.lit(str(int(seed))))
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def fraction_threshold(p: float) -> int:
+    """Integer selection threshold floor(p * 2^60), clamped to [0, 2^60]."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {p}")
+    return min(1 << HASH_BITS, int(p * float(1 << HASH_BITS)))
+
+
+def sample_fraction(
+    df: DataFrame, p: float, key_col: str, seed: int = 20250819
+) -> DataFrame:
+    """~p of rows, selected by hash60(key) < floor(p * 2^60).
+
+    Deterministic in the key alone: stable under repartition, rerun,
+    engine; monotone in p (sample at p1 is a subset of the sample at
+    p2 >= p1 under the same seed — lets a pipeline grow a sample
+    without resampling the old rows). Zero shuffle."""
+    return df.where(hash60(F.col(key_col), seed) < F.lit(fraction_threshold(p)))
+
+
+def hash_split(
+    df: DataFrame, frac: float, key_col: str, seed: int = 20250819
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (train, holdout) split: hash60(key) below/at-or-
+    above the frac threshold. Exactly partitions the rows (same
+    threshold, complementary predicates); a given key lands on the
+    same side in every run and every engine, which is what keeps a
+    holdout set leak-free across pipeline re-executions."""
+    t = F.lit(fraction_threshold(frac))
+    h = hash60(F.col(key_col), seed)
+    return df.where(h < t), df.where(~(h < t))
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    key_col: str,
+    seed: int = 20250819,
+    prefilter_fraction: float | None = None,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen as the k
+    smallest hash60(key) values within each stratum (ties broken by
+    the key) — the deterministic analogue of per-stratum uniform
+    sampling, identical at any parallelism and restatable as a SQL
+    ROW_NUMBER window (the DuckDB oracle).
+
+    One exchange, keyed on the strata columns only. With
+    `prefilter_fraction=q`, rows with hash60 >= floor(q * 2^60) are
+    dropped BEFORE the shuffle+sort; because the window ranks by the
+    same hash, the winners (the k smallest hashes) survive any
+    prefilter that keeps >= k rows in the stratum. The expected
+    survivor count is q * |stratum|, binomially concentrated — size q
+    with margin (e.g. q >= 2 * k / min_stratum_size) or leave None for
+    guaranteed exactness."""
+    from pyspark.sql import Window
+
+    out = df
+    if prefilter_fraction is not None:
+        out = out.where(
+            hash60(F.col(key_col), seed)
+            < F.lit(fraction_threshold(prefilter_fraction))
+        )
+    h = hash60(F.col(key_col), seed)
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        out.withColumn("__srn__", F.row_number().over(w))
+        .where(F.col("__srn__") <= k)
+        .drop("__srn__")
+    )

@@ -1,0 +1,119 @@
+"""Deterministic sampling: partition invariance, monotone fractions,
+exact stratified counts, split disjointness, shuffle discipline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_project_spark.operators import sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_sample_fraction_partition_invariant(spark, docs):
+    a = _ids(sampling.sample_fraction(docs, 0.2, "doc_id"))
+    b = _ids(sampling.sample_fraction(docs.repartition(7), 0.2, "doc_id"))
+    c = _ids(sampling.sample_fraction(docs.coalesce(1), 0.2, "doc_id"))
+    assert a == b == c and 0 < len(a) < docs.count()
+
+
+def test_sample_fraction_monotone_in_p(spark, docs):
+    s1 = _ids(sampling.sample_fraction(docs, 0.1, "doc_id"))
+    s3 = _ids(sampling.sample_fraction(docs, 0.3, "doc_id"))
+    assert s1 <= s3  # growing p only ADDS rows under a fixed seed
+    assert len(s3) > len(s1)
+
+
+def test_sample_fraction_seed_changes_selection(spark, docs):
+    a = _ids(sampling.sample_fraction(docs, 0.2, "doc_id", seed=1))
+    b = _ids(sampling.sample_fraction(docs, 0.2, "doc_id", seed=2))
+    assert a != b
+
+
+def test_sample_fraction_bounds(spark, docs):
+    assert sampling.sample_fraction(docs, 0.0, "doc_id").count() == 0
+    assert sampling.sample_fraction(docs, 1.0, "doc_id").count() == docs.count()
+    with pytest.raises(ValueError, match="fraction"):
+        sampling.sample_fraction(docs, 1.5, "doc_id")
+
+
+def test_sample_fraction_no_shuffle(spark, docs):
+    plan = (
+        sampling.sample_fraction(docs, 0.2, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure scan-side filter
+
+
+def test_hash_split_partitions_rows(spark, docs):
+    train, hold = sampling.hash_split(docs, 0.8, "doc_id")
+    t, h = _ids(train), _ids(hold)
+    assert t.isdisjoint(h)
+    assert t | h == _ids(docs)
+    # and the train side IS the sample_fraction at the same threshold
+    assert t == _ids(sampling.sample_fraction(docs, 0.8, "doc_id"))
+
+
+def test_stratified_exact_counts_and_determinism(spark, docs):
+    got = sampling.stratified_sample_exact(docs, ["lang"], 20, "doc_id")
+    sizes = {r["lang"]: r["n"] for r in
+             got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {lang: min(20, n) for lang, n in full.items()}
+    again = sampling.stratified_sample_exact(docs.repartition(5), ["lang"], 20, "doc_id")
+    assert _ids(got) == _ids(again)
+
+
+def test_stratified_small_stratum_keeps_all(spark):
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sampling.stratified_sample_exact(df, ["lang"], 10, "doc_id")
+    sizes = {r["lang"]: r["n"] for r in
+             got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"big": 10, "tiny": 3}
+
+
+def test_stratified_prefilter_preserves_selection(spark, docs):
+    base = sampling.stratified_sample_exact(docs, ["lang"], 10, "doc_id")
+    thinned = sampling.stratified_sample_exact(
+        docs, ["lang"], 10, "doc_id", prefilter_fraction=0.6
+    )
+    # 0.6 * min-stratum(64) ~ 38 expected survivors >= k=10: winners intact
+    assert _ids(base) == _ids(thinned)
+
+
+def test_stratified_shuffles_on_strata_only(spark, docs):
+    got = sampling.stratified_sample_exact(docs, ["lang"], 20, "doc_id")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    part_lines = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+    assert part_lines
+    for ln in part_lines:
+        inner = ln.split("hashpartitioning(", 1)[1]
+        assert "lang" in inner and "text#" not in inner
+
+
+def test_hash60_matches_duckdb(spark, docs):
+    """The portable hash really is portable: same longs in DuckDB."""
+    import duckdb
+
+    got = {
+        r["doc_id"]: r["h"]
+        for r in docs.limit(50)
+        .select("doc_id", sampling.hash60(F.col("doc_id"), 42).alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.sql(
+            "SELECT doc_id, CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 15)) AS BIGINT) "
+            "FROM '/root/testdata/sf0.01/documents.parquet' ORDER BY doc_id LIMIT 50"
+        ).fetchall()
+    )
+    assert got == want
