@@ -650,6 +650,46 @@ def _prev_bench_queries() -> tuple[str, dict] | None:
     return None
 
 
+def _leg_summary(leg: dict) -> dict:
+    if not leg:
+        return {}
+    if "error" in leg:
+        return {"error": leg["error"][:200]}
+    s = {
+        "eff_best_walls": leg.get("eff_best_walls"),
+        "eff_median": leg.get("eff_median"),
+        "turns_per_sec_big": leg.get("turns_per_sec_big"),
+        "sink_counts_equal": leg.get("sink_counts_equal"),
+        "timed_out": leg.get("timed_out"),
+    }
+    if "all_sinks_nonzero" in leg:
+        s["all_sinks_nonzero"] = leg["all_sinks_nonzero"]
+    if "straggle_big" in leg:
+        s["straggle_ratio_big"] = leg["straggle_big"].get("ratio")
+    return s
+
+
+def compact_summary(out: dict) -> dict:
+    """The one-line stdout record: everything the driver's ~2 KB tail
+    must carry (headline timings + per-leg eff) plus a pointer to the
+    full JSON. Size-bounded by construction — tests assert a maximal
+    instance stays under the tail budget."""
+    return {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {k: round(v, 3) for k, v in out["queries"].items()},
+        "sf": out["sf"],
+        "pipeline": out.get("pipeline", {}),
+        "legs": {
+            "main": _leg_summary(out.get("scaling", {})),
+            "routed": _leg_summary(out.get("routed", {})),
+            "skew": _leg_summary(out.get("skew", {})),
+        },
+        "full_result": "BENCH/latest_result.json",
+    }
+
+
 def _pairs(which: str, default: int) -> int:
     if os.environ.get("BENCH_PAIRS"):
         return int(os.environ["BENCH_PAIRS"])
@@ -748,40 +788,7 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
-
-    def _leg_summary(leg: dict) -> dict:
-        if not leg:
-            return {}
-        if "error" in leg:
-            return {"error": leg["error"]}
-        s = {
-            "eff_best_walls": leg.get("eff_best_walls"),
-            "eff_median": leg.get("eff_median"),
-            "turns_per_sec_big": leg.get("turns_per_sec_big"),
-            "sink_counts_equal": leg.get("sink_counts_equal"),
-            "timed_out": leg.get("timed_out"),
-        }
-        if "all_sinks_nonzero" in leg:
-            s["all_sinks_nonzero"] = leg["all_sinks_nonzero"]
-        if "straggle_big" in leg:
-            s["straggle_ratio_big"] = leg["straggle_big"].get("ratio")
-        return s
-
-    compact = {
-        "metric": out["metric"],
-        "value": out["value"],
-        "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
-        "sf": sf_val,
-        "pipeline": pipeline,
-        "legs": {
-            "main": _leg_summary(scaling),
-            "routed": _leg_summary(routed),
-            "skew": _leg_summary(skew),
-        },
-        "full_result": "BENCH/latest_result.json",
-    }
-    print(json.dumps(compact))
+    print(json.dumps(compact_summary(out)))
 
 
 if __name__ == "__main__":

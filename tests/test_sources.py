@@ -208,6 +208,39 @@ def test_bench_round_files_sort_numerically(tmp_path, monkeypatch):
     assert name == "BENCH_r10.json" and q == {"q": 10.0}
 
 
+def test_bench_compact_line_fits_tail_budget():
+    """The driver's stdout capture keeps ~2000 chars; the compact line
+    must fit even for a maximal result (many queries, all legs with
+    straggle + error-free summaries) or the round record truncates
+    again (VERDICT r3 #2)."""
+    import json as _json
+
+    import bench
+
+    leg = {
+        "eff_best_walls": 0.9999, "eff_median": 0.8888,
+        "turns_per_sec_big": 1234567.8, "sink_counts_equal": True,
+        "timed_out": False, "all_sinks_nonzero": True,
+        "straggle_big": {"ratio": 33.33},
+        "walls_big": [1.0] * 50, "pair_efficiencies": [0.9] * 50,  # must NOT leak in
+    }
+    out = {
+        "metric": "headline_queries_total_wall", "value": 123.456, "unit": "sec",
+        "queries": {f"some_longish_query_name_{i:02d}": 123.4567 for i in range(20)},
+        "sf": 0.1, "pipeline": {"rows": 16000000, "turns_per_sec": 123456.7},
+        "scaling": leg, "routed": leg, "skew": leg,
+        "deltas_vs_prev": {"queries": {f"q{i}": -1.0 for i in range(50)}},
+    }
+    line = _json.dumps(bench.compact_summary(out))
+    assert len(line) < 1900, len(line)
+    parsed = _json.loads(line)
+    assert parsed["legs"]["main"]["eff_best_walls"] == 0.9999
+    assert "walls_big" not in line and "deltas" not in line
+    # a failed leg ships a truncated error, never the full traceback
+    bad = dict(out, routed={"error": "X" * 10_000})
+    assert len(_json.dumps(bench.compact_summary(bad))) < 1900
+
+
 def _ledger(spark, rows):
     return spark.createDataFrame(
         rows,
