@@ -1160,8 +1160,20 @@ def _hash60_sql(key: str = "doc_id", seed: int = 42) -> str:
     )
 
 
+def q_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language char-budget cap (data-mixing primitive): greedy
+    deterministic prefix of each lang's hash-ordered rows with
+    cumulative n_chars <= 5000."""
+    from log_project_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    got = sampling.token_budget_cap(docs, 5000, ["lang"], "n_chars", "doc_id", seed=42)
+    return got.select("lang", "doc_id", "n_chars")
+
+
 _EXTRA_QUERIES = {
     "sample_fraction_det": q_sample_fraction_det,
+    "token_budget_cap": q_token_budget_cap,
     "stratified_sample_k": q_stratified_sample_k,
     "hash_split_counts": q_hash_split_counts,
     "ivf_assign": q_ivf_assign,
@@ -1467,6 +1479,15 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'train' ELSE 'holdout' END AS side,
                count(*) AS n
         FROM documents GROUP BY 1
+    """
+    out["token_budget_cap"] = f"""
+        SELECT lang, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars,
+                 sum(n_chars) OVER (PARTITION BY lang
+                                    ORDER BY {_hash60_sql()}, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents)
+        WHERE cum <= 5000
     """
     return out
 

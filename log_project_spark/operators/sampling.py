@@ -114,3 +114,44 @@ def stratified_sample_exact(
         .where(F.col("__srn__") <= k)
         .drop("__srn__")
     )
+
+
+def token_budget_cap(
+    df: DataFrame,
+    budget: float,
+    strata_cols: list[str],
+    weight_col: str,
+    key_col: str,
+    seed: int = 20250819,
+) -> DataFrame:
+    """Per-stratum weight budgeting: keep the deterministic greedy
+    PREFIX of each stratum whose running weight sum stays <= budget.
+
+    The data-mixing primitive of a pretraining pipeline ("N tokens per
+    source/language"): rows are ordered by the portable hash (a
+    deterministic uniform shuffle — ties broken by the key) and
+    admitted while the cumulative `weight_col` (token/char count) is
+    within budget. Prefix semantics, not knapsack: the first row that
+    would overflow CLOSES the stratum even if a later, smaller row
+    would still fit — that is what keeps the selection a pure function
+    of (key, seed) and restatable as a SQL running-sum window (the
+    DuckDB oracle); best-fit packing would need sequential state and
+    is not reproducible as a one-pass window. Expected over-reserve is
+    half a mean weight per stratum; at corpus scale that is noise.
+
+    Weights must be non-negative: the filter relies on the running sum
+    being monotone (once over budget, always over), which is what makes
+    `cum <= budget` exactly the greedy prefix.
+
+    One exchange, keyed on the strata columns only; the running sum is
+    a spillable window over each stratum."""
+    from pyspark.sql import Window
+
+    h = hash60(F.col(key_col), seed)
+    w = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(weight_col)).over(w)
+    return df.withColumn("__cum__", cum).where(F.col("__cum__") <= budget).drop("__cum__")

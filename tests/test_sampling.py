@@ -99,6 +99,40 @@ def test_stratified_shuffles_on_strata_only(spark, docs):
         assert "lang" in inner and "text#" not in inner
 
 
+def test_token_budget_cap_is_greedy_prefix(spark, docs):
+    """The selection equals a Python brute-force greedy prefix per
+    stratum under the same hash order, and per-stratum sums respect
+    the budget."""
+    budget = 5000
+    got = sampling.token_budget_cap(docs, budget, ["lang"], "n_chars", "doc_id", seed=42)
+    sums = {r["lang"]: r["s"] for r in
+            got.groupBy("lang").agg(F.sum("n_chars").alias("s")).collect()}
+    assert sums and all(s <= budget for s in sums.values())
+
+    rows = docs.select(
+        "lang", "doc_id", "n_chars", sampling.hash60(F.col("doc_id"), 42).alias("h")
+    ).collect()
+    want = set()
+    running: dict = {}  # lang -> cumulative weight; None = closed
+    for r in sorted(rows, key=lambda r: (r["h"], r["doc_id"])):
+        cum = running.get(r["lang"], 0)
+        if cum is None:
+            continue  # prefix semantics: first overflow closed the stratum
+        cum += r["n_chars"]
+        if cum <= budget:
+            running[r["lang"]] = cum
+            want.add(r["doc_id"])
+        else:
+            running[r["lang"]] = None
+    assert _ids(got) == want
+
+
+def test_token_budget_cap_partition_invariant(spark, docs):
+    a = _ids(sampling.token_budget_cap(docs, 5000, ["lang"], "n_chars", "doc_id"))
+    b = _ids(sampling.token_budget_cap(docs.repartition(9), 5000, ["lang"], "n_chars", "doc_id"))
+    assert a == b and a
+
+
 def test_hash60_matches_duckdb(spark, docs):
     """The portable hash really is portable: same longs in DuckDB."""
     import duckdb
