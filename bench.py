@@ -81,6 +81,8 @@ HEADLINE = [
     "sessionize_events",
     "tumbling_event_counts",
     "approx_percentiles_global",
+    "stratified_sample_k",
+    "token_budget_cap",
 ]
 # corpus_curation and near_dup_components are iterative multi-action
 # queries covered by the correctness gate; they would distort the
