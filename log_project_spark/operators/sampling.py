@@ -83,7 +83,8 @@ def stratified_sample_exact(
     k: int,
     key_col: str,
     seed: int = 20250819,
-    prefilter_fraction: float | None = None,
+    prefilter_fraction: float | str | None = None,
+    margin: float = 4.0,
 ) -> DataFrame:
     """Exactly min(k, |stratum|) rows per stratum, chosen as the k
     smallest hash60(key) values within each stratum (ties broken by
@@ -91,29 +92,77 @@ def stratified_sample_exact(
     sampling, identical at any parallelism and restatable as a SQL
     ROW_NUMBER window (the DuckDB oracle).
 
-    One exchange, keyed on the strata columns only. With
-    `prefilter_fraction=q`, rows with hash60 >= floor(q * 2^60) are
-    dropped BEFORE the shuffle+sort; because the window ranks by the
-    same hash, the winners (the k smallest hashes) survive any
-    prefilter that keeps >= k rows in the stratum. The expected
-    survivor count is q * |stratum|, binomially concentrated — size q
-    with margin (e.g. q >= 2 * k / min_stratum_size) or leave None for
-    guaranteed exactness."""
+    One exchange, keyed on the strata columns only. Because the window
+    ranks by the same hash a prefilter cuts on, ANY hash-threshold
+    prefilter that keeps >= min(k, |stratum|) rows in a stratum
+    preserves the winners exactly (a threshold keeps the bottom of the
+    hash order intact). Three modes:
+
+    - `prefilter_fraction=None` (default): shuffle the whole input.
+      Guaranteed exact, but a stratum holding most of a 100 TB table
+      sorts on one reducer — fine at test scale, the hazard at 100x.
+    - `prefilter_fraction=q` (float): drop hash >= floor(q * 2^60)
+      before the shuffle. Caller-sized; exact while every stratum
+      retains >= k survivors (expected q * |stratum|).
+    - `prefilter_fraction="auto"`: the scale path. One narrow
+      count-per-stratum pass sizes a PER-STRATUM threshold
+      min(1, margin * k / n_s) (strata with n_s <= margin * k are not
+      cut at all, so undersized strata keep every row), broadcast-joins
+      it, prefilters, windows — the sort then touches ~margin * k rows
+      per stratum instead of |stratum| — and VERIFIES the per-stratum
+      output counts against min(k, n_s), raising if the binomial tail
+      ever bites (P < e^{-k(margin-1)^2/(2 margin)}, ~1e-10 at k=20,
+      margin=4; raise `margin` if it does). Auto mode persists the
+      result and runs that verification count as an extra action; the
+      returned frame is the persisted, verified sample. #strata is
+      assumed driver-collectable (it is the groupBy cardinality)."""
     from pyspark.sql import Window
 
-    out = df
-    if prefilter_fraction is not None:
-        out = out.where(
-            hash60(F.col(key_col), seed)
-            < F.lit(fraction_threshold(prefilter_fraction))
-        )
     h = hash60(F.col(key_col), seed)
+    counts = None
+    out = df
+    if prefilter_fraction == "auto":
+        if margin <= 1.0:
+            raise ValueError(f"margin must be > 1, got {margin}")
+        counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("__n__"))
+        thr = counts.select(
+            *strata_cols,
+            (
+                F.least(F.lit(1.0), F.lit(float(margin * k)) / F.col("__n__"))
+                * F.lit(float(1 << HASH_BITS))
+            )
+            .cast("long")
+            .alias("__thr__"),
+        )
+        out = df.join(F.broadcast(thr), strata_cols).where(h < F.col("__thr__")).drop("__thr__")
+    elif prefilter_fraction is not None:
+        out = out.where(h < F.lit(fraction_threshold(prefilter_fraction)))
     w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
-    return (
+    result = (
         out.withColumn("__srn__", F.row_number().over(w))
         .where(F.col("__srn__") <= k)
         .drop("__srn__")
     )
+    if counts is not None:
+        result = result.persist()
+        got = {
+            tuple(r[c] for c in strata_cols): r["__g__"]
+            for r in result.groupBy(*strata_cols)
+            .agg(F.count(F.lit(1)).alias("__g__"))
+            .collect()
+        }
+        want = {
+            tuple(r[c] for c in strata_cols): min(k, r["__n__"])
+            for r in counts.collect()
+        }
+        if got != want:
+            result.unpersist()
+            short = {s: (got.get(s, 0), n) for s, n in want.items() if got.get(s, 0) != n}
+            raise RuntimeError(
+                "stratified_sample_exact(auto): prefilter left strata short of k "
+                f"(got, want) per stratum: {short} — raise margin (currently {margin})"
+            )
+    return result
 
 
 def token_budget_cap(

@@ -99,6 +99,68 @@ def test_stratified_shuffles_on_strata_only(spark, docs):
         assert "lang" in inner and "text#" not in inner
 
 
+def _py_hash60(key, seed):
+    import hashlib
+
+    return int(hashlib.md5(f"{key}|{seed}".encode()).hexdigest()[:15], 16)
+
+
+def test_stratified_auto_prefilter_exact_and_verified(spark, docs):
+    """prefilter_fraction='auto' (the 100 TB path: per-stratum
+    thresholds from a counted pass, ~margin*k rows per stratum reach
+    the sort) returns exactly the default mode's selection."""
+    base = sampling.stratified_sample_exact(docs, ["lang"], 20, "doc_id")
+    auto = sampling.stratified_sample_exact(
+        docs, ["lang"], 20, "doc_id", prefilter_fraction="auto"
+    )
+    assert _ids(base) == _ids(auto)
+    auto.unpersist()
+
+
+def test_stratified_auto_keeps_undersized_strata_whole(spark):
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sampling.stratified_sample_exact(
+        df, ["lang"], 10, "doc_id", prefilter_fraction="auto"
+    )
+    sizes = {r["lang"]: r["n"] for r in
+             got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"big": 10, "tiny": 3}
+    got.unpersist()
+
+
+def test_stratified_auto_raises_when_margin_too_thin(spark):
+    """The verification action must catch a prefilter that left a
+    stratum short of k — margin chosen so the deterministic hash
+    provably undershoots (computed with the same md5 in Python)."""
+    n, seed = 500, 20250819
+    rows = [(i, "s") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    hashes = sorted(_py_hash60(i, seed) for i in range(n))
+    # find a (k, margin > 1) pair whose threshold provably admits
+    # FEWER than k rows under the deterministic hash layout
+    found = None
+    for k in range(20, 200, 5):
+        for margin in (1.01, 1.02, 1.05, 1.1):
+            thr = int(min(1.0, margin * k / n) * float(1 << 60))
+            if sum(1 for h in hashes if h < thr) < k:
+                found = (k, margin)
+                break
+        if found:
+            break
+    assert found, "no shortfall combo in range — widen the search"
+    k, margin = found
+    with pytest.raises(RuntimeError, match="raise margin"):
+        sampling.stratified_sample_exact(
+            df, ["lang"], k, "doc_id", seed=seed,
+            prefilter_fraction="auto", margin=margin,
+        )
+    with pytest.raises(ValueError, match="margin"):
+        sampling.stratified_sample_exact(
+            df, ["lang"], k, "doc_id", prefilter_fraction="auto", margin=1.0
+        )
+
+
 def test_token_budget_cap_is_greedy_prefix(spark, docs):
     """The selection equals a Python brute-force greedy prefix per
     stratum under the same hash order, and per-stratum sums respect
