@@ -1171,8 +1171,22 @@ def q_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("lang", "doc_id", "n_chars")
 
 
+def q_sample_by_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum fraction rebalancing (sampleBy
+    analogue): keep 10% of en, all of zh, half of es; other langs
+    dropped."""
+    from log_project_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    got = sampling.sample_by_stratum(
+        docs, {"en": 0.1, "zh": 1.0, "es": 0.5}, "lang", "doc_id", seed=42
+    )
+    return got.select("lang", "doc_id")
+
+
 _EXTRA_QUERIES = {
     "sample_fraction_det": q_sample_fraction_det,
+    "sample_by_stratum": q_sample_by_stratum,
     "token_budget_cap": q_token_budget_cap,
     "stratified_sample_k": q_stratified_sample_k,
     "hash_split_counts": q_hash_split_counts,
@@ -1479,6 +1493,14 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'train' ELSE 'holdout' END AS side,
                count(*) AS n
         FROM documents GROUP BY 1
+    """
+    out["sample_by_stratum"] = f"""
+        SELECT lang, doc_id FROM documents
+        WHERE {_hash60_sql()} <
+              CASE lang WHEN 'en' THEN {fraction_threshold(0.1)}
+                        WHEN 'zh' THEN {fraction_threshold(1.0)}
+                        WHEN 'es' THEN {fraction_threshold(0.5)}
+                        ELSE 0 END
     """
     out["token_budget_cap"] = f"""
         SELECT lang, doc_id, n_chars FROM (

@@ -77,6 +77,33 @@ def hash_split(
     return df.where(h < t), df.where(~(h < t))
 
 
+def sample_by_stratum(
+    df: DataFrame,
+    fractions: dict,
+    strata_col: str,
+    key_col: str,
+    seed: int = 20250819,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum fraction sampling (`DataFrame.sampleBy` made
+    deterministic): keep ~fractions[stratum] of each stratum's rows by
+    the portable hash — the source/language REBALANCING primitive
+    ("keep 5% of CommonCrawl-en, all of the low-resource languages").
+    Strata absent from `fractions` get `default_fraction` (0.0 = drop,
+    the curation default; pass 1.0 to pass unknown strata through).
+
+    Selection per row is hash60(key) < threshold(stratum) — a pure
+    function of (key, seed), so reruns/engines agree, and the kept set
+    for a stratum at fraction p1 is a SUBSET of its set at p2 >= p1.
+    The thresholds unroll into one CASE expression (strata maps are
+    small by nature): zero shuffle, zero join, scan-side filter."""
+    h = hash60(F.col(key_col), seed)
+    thr = F.lit(fraction_threshold(default_fraction))
+    for stratum, p in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == F.lit(stratum), F.lit(fraction_threshold(p))).otherwise(thr)
+    return df.where(h < thr)
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata_cols: list[str],

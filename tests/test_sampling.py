@@ -99,6 +99,30 @@ def test_stratified_shuffles_on_strata_only(spark, docs):
         assert "lang" in inner and "text#" not in inner
 
 
+def test_sample_by_stratum_rebalances(spark, docs):
+    fr = {"en": 0.1, "zh": 1.0, "es": 0.5}
+    got = sampling.sample_by_stratum(docs, fr, "lang", "doc_id")
+    # zh kept whole; absent strata (de, fr) dropped by default
+    full = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in
+             got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes.get("zh") == full["zh"]
+    assert set(sizes) == {"en", "zh", "es"}
+    assert 0 < sizes["en"] < full["en"]
+    # per-stratum selection == sample_fraction restricted to the stratum
+    en_direct = _ids(sampling.sample_fraction(docs.where("lang='en'"), 0.1, "doc_id"))
+    assert {r["doc_id"] for r in got.where("lang='en'").select("doc_id").collect()} == en_direct
+    # default passthrough
+    all_through = sampling.sample_by_stratum(
+        docs, {}, "lang", "doc_id", default_fraction=1.0
+    )
+    assert all_through.count() == docs.count()
+    # zero shuffle
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def _py_hash60(key, seed):
     import hashlib
 
