@@ -95,13 +95,27 @@ def sample_by_stratum(
     Selection per row is hash60(key) < threshold(stratum) — a pure
     function of (key, seed), so reruns/engines agree, and the kept set
     for a stratum at fraction p1 is a SUBSET of its set at p2 >= p1.
-    The thresholds unroll into one CASE expression (strata maps are
-    small by nature): zero shuffle, zero join, scan-side filter."""
+    Small maps unroll into one CASE expression (zero shuffle, zero
+    join, scan-side filter); maps above 64 strata switch to a
+    broadcast left join against a thresholds frame instead — a CASE
+    with thousands of branches is evaluated linearly per row and
+    bloats the codegen — still no shuffle of the input."""
     h = hash60(F.col(key_col), seed)
-    thr = F.lit(fraction_threshold(default_fraction))
-    for stratum, p in sorted(fractions.items()):
-        thr = F.when(F.col(strata_col) == F.lit(stratum), F.lit(fraction_threshold(p))).otherwise(thr)
-    return df.where(h < thr)
+    default_thr = fraction_threshold(default_fraction)
+    if len(fractions) <= 64:
+        thr = F.lit(default_thr)
+        for stratum, p in sorted(fractions.items()):
+            thr = F.when(
+                F.col(strata_col) == F.lit(stratum), F.lit(fraction_threshold(p))
+            ).otherwise(thr)
+        return df.where(h < thr)
+    spark = df.sparkSession
+    thr_df = spark.createDataFrame(
+        [(s, fraction_threshold(p)) for s, p in sorted(fractions.items())],
+        f"`{strata_col}` string, __thr__ long",
+    )
+    joined = df.join(F.broadcast(thr_df), strata_col, "left")
+    return joined.where(h < F.coalesce(F.col("__thr__"), F.lit(default_thr))).drop("__thr__")
 
 
 def stratified_sample_exact(
@@ -199,6 +213,8 @@ def token_budget_cap(
     weight_col: str,
     key_col: str,
     seed: int = 20250819,
+    prefilter: str | None = None,
+    margin: float = 4.0,
 ) -> DataFrame:
     """Per-stratum weight budgeting: keep the deterministic greedy
     PREFIX of each stratum whose running weight sum stays <= budget.
@@ -220,14 +236,79 @@ def token_budget_cap(
     `cum <= budget` exactly the greedy prefix.
 
     One exchange, keyed on the strata columns only; the running sum is
-    a spillable window over each stratum."""
+    a spillable window over each stratum. Like stratified sampling,
+    the sort of a stratum holding most of a 100 TB table lands on one
+    reducer — `prefilter="auto"` is the scale path: one narrow pass
+    sums each stratum's total weight W_s, rows are pre-cut at hash
+    fraction min(1, margin * budget / W_s) (strata with W_s <=
+    margin * budget are never cut), and the result is VERIFIED exact
+    per cut stratum by the predicate `sum(survivor weights) > budget`:
+    a hash-threshold cut keeps the bottom of the hash order, so the
+    winning prefix is untouched exactly when the cut region starts
+    beyond the overflow point — i.e. when the survivors alone already
+    overflow the budget. Expected survivor weight is margin * budget;
+    a failure (heavy-tailed weights, tiny margin) raises with guidance
+    instead of silently under-filling. Auto mode persists the result
+    and runs the verification as an extra small action."""
     from pyspark.sql import Window
 
     h = hash60(F.col(key_col), seed)
+    out = df
+    totals = None
+    if prefilter == "auto":
+        if margin <= 1.0:
+            raise ValueError(f"margin must be > 1, got {margin}")
+        totals = df.groupBy(*strata_cols).agg(F.sum(F.col(weight_col)).alias("__w__"))
+        thr = totals.select(
+            *strata_cols,
+            (
+                F.least(F.lit(1.0), F.lit(float(margin * budget)) / F.col("__w__"))
+                * F.lit(float(1 << HASH_BITS))
+            )
+            .cast("long")
+            .alias("__thr__"),
+            (F.col("__w__") > F.lit(float(margin * budget))).alias("__cut__"),
+        )
+        out = (
+            df.join(F.broadcast(thr), strata_cols)
+            .where(h < F.col("__thr__"))
+            .persist()  # verification + the window both read the survivors
+        )
+    elif prefilter is not None:
+        raise ValueError(f"prefilter must be None or 'auto', got {prefilter!r}")
     w = (
         Window.partitionBy(*strata_cols)
         .orderBy(h.asc(), F.col(key_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(weight_col)).over(w)
-    return df.withColumn("__cum__", cum).where(F.col("__cum__") <= budget).drop("__cum__")
+    result = out.withColumn("__cum__", cum).where(F.col("__cum__") <= budget)
+    if totals is not None:
+        # exactness predicate per CUT stratum: survivors must overflow
+        # the budget (then the true prefix lies entirely below the cut).
+        # Anchor on the totals frame, not the survivors: a stratum whose
+        # survivors vanished entirely has NO survivor group to flag and
+        # must still fail (sum 0 <= budget).
+        survivor_w = out.groupBy(*strata_cols).agg(
+            F.sum(F.col(weight_col)).alias("__sw__")
+        )
+        bad = (
+            thr.where(F.col("__cut__"))
+            .join(survivor_w, strata_cols, "left")
+            .select(*strata_cols, F.coalesce(F.col("__sw__"), F.lit(0)).alias("__sw__"))
+            .where(F.col("__sw__") <= budget)
+            .collect()
+        )
+        if bad:
+            out.unpersist()
+            short = {tuple(r[c] for c in strata_cols): r["__sw__"] for r in bad}
+            raise RuntimeError(
+                "token_budget_cap(auto): prefilter survivors no longer overflow "
+                f"the budget for strata {short} — the greedy prefix may extend "
+                f"past the cut; raise margin (currently {margin})"
+            )
+        result = result.drop("__thr__", "__cut__", "__cum__").persist()
+        result.count()  # materialize off the cached survivors
+        out.unpersist()
+        return result
+    return result.drop("__cum__")

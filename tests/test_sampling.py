@@ -219,6 +219,60 @@ def test_token_budget_cap_partition_invariant(spark, docs):
     assert a == b and a
 
 
+def test_sample_by_stratum_join_path_matches_case_path(spark, docs):
+    """Above 64 strata the operator switches to a broadcast-join; the
+    selection must be identical to the CASE path on the same map."""
+    fr = {"en": 0.1, "zh": 1.0, "es": 0.5}
+    big = dict(fr)
+    big.update({f"pad{i}": 0.25 for i in range(70)})  # force the join path
+    case_ids = _ids(sampling.sample_by_stratum(docs, fr, "lang", "doc_id"))
+    join_ids = _ids(sampling.sample_by_stratum(docs, big, "lang", "doc_id"))
+    assert case_ids == join_ids  # pad strata don't exist in the data
+    plan = (
+        sampling.sample_by_stratum(docs, big, "lang", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_token_budget_cap_auto_prefilter_exact(spark, docs):
+    """auto mode (counted per-stratum hash cut, survivors-overflow
+    verification) returns exactly the default selection."""
+    base = sampling.token_budget_cap(docs, 5000, ["lang"], "n_chars", "doc_id", seed=42)
+    auto = sampling.token_budget_cap(
+        docs, 5000, ["lang"], "n_chars", "doc_id", seed=42, prefilter="auto"
+    )
+    assert _ids(base) == _ids(auto)
+    auto.unpersist()
+    with pytest.raises(ValueError, match="margin"):
+        sampling.token_budget_cap(
+            docs, 5000, ["lang"], "n_chars", "doc_id", prefilter="auto", margin=0.5
+        )
+    with pytest.raises(ValueError, match="prefilter"):
+        sampling.token_budget_cap(
+            docs, 5000, ["lang"], "n_chars", "doc_id", prefilter="bogus"
+        )
+
+
+def test_token_budget_cap_auto_raises_on_underflow(spark):
+    """If the cut survivors no longer overflow the budget the greedy
+    prefix might extend past the cut — the verification must raise.
+    Construct it deterministically: one huge-weight row near the top
+    of the hash order inflates W_s (thin cut) while the surviving
+    rows' weights stay tiny."""
+    n, seed = 400, 20250819
+    hashes = {i: _py_hash60(i, seed) for i in range(n)}
+    top = max(hashes, key=lambda i: hashes[i])  # cut first, never kept
+    rows = [(i, "s", 1_000_000 if i == top else 1) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    # W_s ~ 1e6; budget 300: threshold fraction ~ margin*300/1e6 ~ 0.12%
+    # of hash space -> ~0 tiny-weight survivors, sum << budget
+    with pytest.raises(RuntimeError, match="raise margin"):
+        sampling.token_budget_cap(
+            df, 300, ["lang"], "w", "doc_id", seed=seed, prefilter="auto", margin=4.0
+        )
+
+
 def test_hash60_matches_duckdb(spark, docs):
     """The portable hash really is portable: same longs in DuckDB."""
     import duckdb
