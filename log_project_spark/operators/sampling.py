@@ -110,9 +110,11 @@ def sample_by_stratum(
             ).otherwise(thr)
         return df.where(h < thr)
     spark = df.sparkSession
+    # schema inferred from the map keys, so non-string strata (int
+    # shard ids, dates) join correctly too
     thr_df = spark.createDataFrame(
         [(s, fraction_threshold(p)) for s, p in sorted(fractions.items())],
-        f"`{strata_col}` string, __thr__ long",
+        [strata_col, "__thr__"],
     )
     joined = df.join(F.broadcast(thr_df), strata_col, "left")
     return joined.where(h < F.coalesce(F.col("__thr__"), F.lit(default_thr))).drop("__thr__")
