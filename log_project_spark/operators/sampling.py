@@ -141,13 +141,19 @@ def stratified_sample_exact(
     preserves the winners exactly (a threshold keeps the bottom of the
     hash order intact). Three modes:
 
-    - `prefilter_fraction=None` (default): shuffle the whole input.
-      Guaranteed exact, but a stratum holding most of a 100 TB table
-      sorts on one reducer — fine at test scale, the hazard at 100x.
+    - `prefilter_fraction=None` (default): shuffle the whole input —
+      but NOT the whole sort: the row_number()<=k filter triggers
+      Spark's rank-limit pushdown (`WindowGroupLimit`, plan-verified in
+      PLANS.md), which prunes to k rows per stratum PER MAP PARTITION
+      before the exchange, so the shuffle and the reduce-side sort see
+      at most k * n_input_partitions rows per stratum, not |stratum|.
+      Exact, and already scale-tolerable.
     - `prefilter_fraction=q` (float): drop hash >= floor(q * 2^60)
       before the shuffle. Caller-sized; exact while every stratum
       retains >= k survivors (expected q * |stratum|).
-    - `prefilter_fraction="auto"`: the scale path. One narrow
+    - `prefilter_fraction="auto"`: thins further — worthwhile when the
+      input has many thousands of partitions (k * n_partitions rows per
+      stratum is still big) or scans are expensive. One narrow
       count-per-stratum pass sizes a PER-STRATUM threshold
       min(1, margin * k / n_s) (strata with n_s <= margin * k are not
       cut at all, so undersized strata keep every row), broadcast-joins
