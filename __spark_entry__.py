@@ -1184,10 +1184,23 @@ def q_sample_by_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("lang", "doc_id")
 
 
+def q_token_budget_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked (longest-first) per-language budget cap: the
+    quality-ordered variant of the data-mixing primitive."""
+    from log_project_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    got = sampling.token_budget_cap(
+        docs, 5000, ["lang"], "n_chars", "doc_id", seed=42, order_col="n_chars"
+    )
+    return got.select("lang", "doc_id", "n_chars")
+
+
 _EXTRA_QUERIES = {
     "sample_fraction_det": q_sample_fraction_det,
     "sample_by_stratum": q_sample_by_stratum,
     "token_budget_cap": q_token_budget_cap,
+    "token_budget_ranked": q_token_budget_ranked,
     "stratified_sample_k": q_stratified_sample_k,
     "hash_split_counts": q_hash_split_counts,
     "ivf_assign": q_ivf_assign,
@@ -1507,6 +1520,15 @@ def oracle_sql() -> dict[str, str]:
           SELECT lang, doc_id, n_chars,
                  sum(n_chars) OVER (PARTITION BY lang
                                     ORDER BY {_hash60_sql()}, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents)
+        WHERE cum <= 5000
+    """
+    out["token_budget_ranked"] = f"""
+        SELECT lang, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars,
+                 sum(n_chars) OVER (PARTITION BY lang
+                                    ORDER BY n_chars DESC, {_hash60_sql()}, doc_id
                                     ROWS UNBOUNDED PRECEDING) AS cum
           FROM documents)
         WHERE cum <= 5000

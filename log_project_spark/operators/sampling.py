@@ -223,6 +223,8 @@ def token_budget_cap(
     seed: int = 20250819,
     prefilter: str | None = None,
     margin: float = 4.0,
+    order_col: str | None = None,
+    descending: bool = True,
 ) -> DataFrame:
     """Per-stratum weight budgeting: keep the deterministic greedy
     PREFIX of each stratum whose running weight sum stays <= budget.
@@ -242,6 +244,16 @@ def token_budget_cap(
     Weights must be non-negative: the filter relies on the running sum
     being monotone (once over budget, always over), which is what makes
     `cum <= budget` exactly the greedy prefix.
+
+    `order_col` switches from uniform (hash-ordered) filling to RANKED
+    filling: rows are admitted best-first — (order_col DESC|ASC, then
+    hash, then key as deterministic tie-breaks) — i.e. "keep the
+    highest-quality / longest documents within the budget", the usual
+    shape of production data mixing over a quality-scored corpus.
+    Ranked mode is incompatible with `prefilter="auto"` (the hash cut
+    preserves a hash-ordered prefix, not a quality-ordered one) and
+    raises if both are set; its scale mitigation is upstream quality
+    filtering, not a hash cut.
 
     One exchange, keyed on the strata columns only; the running sum is
     a spillable window over each stratum. Like stratified sampling,
@@ -263,6 +275,11 @@ def token_budget_cap(
     h = hash60(F.col(key_col), seed)
     out = df
     totals = None
+    if order_col is not None and prefilter == "auto":
+        raise ValueError(
+            "order_col (ranked filling) cannot combine with prefilter='auto' — "
+            "the hash cut preserves a hash-ordered prefix, not a ranked one"
+        )
     if prefilter == "auto":
         if margin <= 1.0:
             raise ValueError(f"margin must be > 1, got {margin}")
@@ -284,9 +301,13 @@ def token_budget_cap(
         )
     elif prefilter is not None:
         raise ValueError(f"prefilter must be None or 'auto', got {prefilter!r}")
+    order = [h.asc(), F.col(key_col).asc()]
+    if order_col is not None:
+        lead = F.col(order_col).desc() if descending else F.col(order_col).asc()
+        order = [lead, *order]
     w = (
         Window.partitionBy(*strata_cols)
-        .orderBy(h.asc(), F.col(key_col).asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(weight_col)).over(w)

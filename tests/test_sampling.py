@@ -213,6 +213,39 @@ def test_token_budget_cap_is_greedy_prefix(spark, docs):
     assert _ids(got) == want
 
 
+def test_token_budget_cap_ranked_filling(spark, docs):
+    """order_col: best-first (longest-first here) greedy prefix — the
+    selected set matches a Python brute force over the same ordering,
+    and auto-prefilter is rejected in ranked mode."""
+    budget = 5000
+    got = sampling.token_budget_cap(
+        docs, budget, ["lang"], "n_chars", "doc_id", seed=42, order_col="n_chars"
+    )
+    rows = docs.select(
+        "lang", "doc_id", "n_chars", sampling.hash60(F.col("doc_id"), 42).alias("h")
+    ).collect()
+    want = set()
+    running: dict = {}
+    for r in sorted(rows, key=lambda r: (-r["n_chars"], r["h"], r["doc_id"])):
+        cum = running.get(r["lang"], 0)
+        if cum is None:
+            continue
+        cum += r["n_chars"]
+        if cum <= budget:
+            running[r["lang"]] = cum
+            want.add(r["doc_id"])
+        else:
+            running[r["lang"]] = None
+    assert _ids(got) == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ranked"):
+        sampling.token_budget_cap(
+            docs, budget, ["lang"], "n_chars", "doc_id",
+            order_col="n_chars", prefilter="auto",
+        )
+
+
 def test_token_budget_cap_partition_invariant(spark, docs):
     a = _ids(sampling.token_budget_cap(docs, 5000, ["lang"], "n_chars", "doc_id"))
     b = _ids(sampling.token_budget_cap(docs.repartition(9), 5000, ["lang"], "n_chars", "doc_id"))
