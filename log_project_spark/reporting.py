@@ -216,8 +216,11 @@ def summary_violations(summary: DataFrame) -> DataFrame:
     ledger DataFrame instead of a csv.reader loop so it runs on a
     distributed ledger of any size:
 
-    - p95_ms must parse and be <= p99_ms (+1e-9 float-format slack);
-      non-numeric values violate, like the reference's except-branch.
+    - p95_ms must parse and be <= p99_ms — strict, like the reference
+      gate (both gates parse identical doubles from identical CSV
+      strings, so no float-format slack is needed; ADVICE r4 dropped
+      the former 1e-9 leniency). Non-numeric values violate, like the
+      reference's except-branch.
     - TPR_at_1pct_FPR: 'NA' is allowed only for mini_tokens datasets;
       otherwise it must parse as a number, and synth_tokens TPRs with a
       decimal point must carry exactly 4 decimals.
@@ -238,7 +241,7 @@ def summary_violations(summary: DataFrame) -> DataFrame:
     is_synth = F.col("dataset").contains("synth_tokens")
     frac = F.substring_index(tpr_raw, ".", -1)
 
-    p_bad = p95.isNull() | p99.isNull() | (p95 > p99 + F.lit(1e-9))
+    p_bad = p95.isNull() | p99.isNull() | (p95 > p99)
     tpr_bad = F.when(is_na, ~is_mini).otherwise(
         tpr_raw.try_cast("double").isNull()
         | (is_synth & tpr_raw.contains(".") & (F.length(frac) != 4))

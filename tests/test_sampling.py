@@ -215,8 +215,7 @@ def test_token_budget_cap_is_greedy_prefix(spark, docs):
 
 def test_token_budget_cap_ranked_filling(spark, docs):
     """order_col: best-first (longest-first here) greedy prefix — the
-    selected set matches a Python brute force over the same ordering,
-    and auto-prefilter is rejected in ranked mode."""
+    selected set matches a Python brute force over the same ordering."""
     budget = 5000
     got = sampling.token_budget_cap(
         docs, budget, ["lang"], "n_chars", "doc_id", seed=42, order_col="n_chars"
@@ -237,12 +236,93 @@ def test_token_budget_cap_ranked_filling(spark, docs):
         else:
             running[r["lang"]] = None
     assert _ids(got) == want
-    import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="ranked"):
+
+def test_token_budget_ranked_auto_exact(spark, docs):
+    """Ranked auto (r5 scale path: counted order_col histogram pre-cut)
+    returns exactly the non-auto ranked selection. At budget=5000,
+    margin=4 the en/es/fr/zh strata all exceed margin*budget and are
+    genuinely cut; de falls through whole."""
+    base = sampling.token_budget_cap(
+        docs, 5000, ["lang"], "n_chars", "doc_id", seed=42, order_col="n_chars"
+    )
+    auto = sampling.token_budget_cap(
+        docs, 5000, ["lang"], "n_chars", "doc_id", seed=42,
+        order_col="n_chars", prefilter="auto",
+    )
+    assert auto.columns == docs.columns  # ADVICE r4: schema order preserved
+    assert _ids(base) == _ids(auto)
+    auto.unpersist()
+    # ascending variant ("shortest-first") agrees with brute force too
+    asc_auto = sampling.token_budget_cap(
+        docs, 3000, ["lang"], "n_chars", "doc_id", seed=42,
+        order_col="n_chars", descending=False, prefilter="auto",
+    )
+    asc_base = sampling.token_budget_cap(
+        docs, 3000, ["lang"], "n_chars", "doc_id", seed=42,
+        order_col="n_chars", descending=False,
+    )
+    assert _ids(asc_base) == _ids(asc_auto)
+    asc_auto.unpersist()
+
+
+def test_token_budget_ranked_auto_giant_stratum_precut(spark):
+    """The pre-cut must actually thin a giant stratum: survivors reach
+    the window at ~margin*budget weight, not |stratum|, and the bucket
+    filter is visible in the survivors' plan."""
+    n = 20_000
+    rows = [(i, "s", 10 + (i * 7919) % 500) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, q long")
+    budget, margin = 2_000, 4.0
+    survivors, thr = sampling.ranked_budget_prefilter(
+        df, budget, ["lang"], "q", "q", margin=margin
+    )
+    total_w = df.agg(F.sum("q")).collect()[0][0]
+    surv_w = survivors.agg(F.sum("q")).collect()[0][0]
+    # >= margin*budget by construction, and a tiny slice of the stratum
+    assert surv_w >= margin * budget
+    assert surv_w < total_w * 0.02
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "__tb__" in plan  # the bucket-threshold filter survived pruning
+    # end-to-end: auto == non-auto on the same giant stratum
+    base = sampling.token_budget_cap(df, budget, ["lang"], "q", "doc_id", order_col="q")
+    auto = sampling.token_budget_cap(
+        df, budget, ["lang"], "q", "doc_id", order_col="q", prefilter="auto"
+    )
+    assert _ids(base) == _ids(auto)
+    auto.unpersist()
+
+
+def test_token_budget_ranked_auto_constant_order_falls_through(spark):
+    """A heavy stratum whose order_col is constant cannot be cut on it
+    — it must fall through whole and still produce the exact ranked
+    selection (ties broken by hash, then key)."""
+    rows = [(i, "s", 5, 7) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long, q long")
+    base = sampling.token_budget_cap(df, 100, ["lang"], "w", "doc_id", order_col="q")
+    auto = sampling.token_budget_cap(
+        df, 100, ["lang"], "w", "doc_id", order_col="q", prefilter="auto"
+    )
+    assert _ids(base) == _ids(auto) and len(_ids(auto)) == 20
+    auto.unpersist()
+
+
+def test_token_budget_ranked_auto_null_order_raises(spark):
+    rows = [(i, "s", 10, None if i == 7 else i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long, q long")
+    with pytest.raises(ValueError, match="NULL"):
         sampling.token_budget_cap(
-            docs, budget, ["lang"], "n_chars", "doc_id",
-            order_col="n_chars", prefilter="auto",
+            df, 50, ["lang"], "w", "doc_id", order_col="q", prefilter="auto"
+        )
+    with pytest.raises(ValueError, match="margin"):
+        sampling.token_budget_cap(
+            df, 50, ["lang"], "w", "doc_id", order_col="q",
+            prefilter="auto", margin=1.0,
+        )
+    with pytest.raises(ValueError, match="bins"):
+        sampling.token_budget_cap(
+            df, 50, ["lang"], "w", "doc_id", order_col="q",
+            prefilter="auto", bins=1,
         )
 
 

@@ -279,17 +279,14 @@ def test_check_summary_gate(spark):
     with pytest.raises(ValueError, match="constraint violations"):
         reporting.check_summary(bad)
 
-    # float-format slack: p95 above p99 by more than 1e-9 violates;
-    # equality or sub-1e-9 jitter does not
-    above = _ledger(spark, [
-        ("synth_tokens", "baseline", "conformal", "0.9123", "3.81", "3.8", "1.0"),
-    ])
-    assert reporting.summary_violations(above).where("kind like 'p95%'").count() == 1
-    for p95 in ("3.8", "3.8000000000001"):
-        tiny = _ledger(spark, [
+    # strict gate, like the reference: ANY p95 > p99 violates (even by
+    # one ulp — ADVICE r4 dropped the former 1e-9 slack); equality does
+    # not
+    for p95, n_bad in (("3.81", 1), ("3.8000000000001", 1), ("3.8", 0)):
+        led = _ledger(spark, [
             ("synth_tokens", "baseline", "conformal", "0.9123", p95, "3.8", "1.0"),
         ])
-        reporting.check_summary(tiny)
+        assert reporting.summary_violations(led).where("kind like 'p95%'").count() == n_bad
 
     with pytest.raises(ValueError, match="missing required columns"):
         reporting.check_summary(clean.drop("eps"))
