@@ -1196,7 +1196,69 @@ def q_token_budget_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("lang", "doc_id", "n_chars")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals over word
+    2-grams (default hash-keyed scale path; the oracle groups the raw
+    gram strings — identical values absent a 64-bit in-doc
+    collision)."""
+    from log_project_spark.operators import text_analysis
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.repetition_stats(docs, n=2)
+
+
+def q_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-train-doc count of distinct
+    5-grams shared with a held-out benchmark slice (the hash-split
+    12.5% of documents), via the broadcast-semi-join gram path."""
+    from log_project_spark.operators import decontam, sampling
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "toks", parse_ops.word_tokens_col(F.col("text"))
+    )
+    train, bench = sampling.hash_split(docs, 0.875, "doc_id", seed=7)
+    return decontam.contamination_hits(train, bench, tokens_col="toks", n=5)
+
+
+def _repetition_sql(n: int = 2) -> str:
+    return f"""
+        WITH toked AS (SELECT doc_id, {_DUCK_WORD_TOKS} AS toks FROM documents),
+        g AS (
+          SELECT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS gram
+          FROM toked, unnest(range(1, len(toks) - {n - 2})) AS t(i)
+          WHERE len(toks) >= {n}),
+        pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+               count(*) AS n_distinct_grams,
+               round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_gram_frac,
+               round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_gram_frac
+        FROM pg GROUP BY doc_id
+    """
+
+
+def _decontam_sql(n: int = 5, frac: float = 0.875, seed: int = 7) -> str:
+    from log_project_spark.operators.sampling import fraction_threshold
+
+    h = _hash60_sql("doc_id", seed)
+    thr = fraction_threshold(frac)
+    return f"""
+        WITH toked AS (SELECT doc_id, {_DUCK_WORD_TOKS} AS toks FROM documents),
+        tr AS (SELECT * FROM toked WHERE {h} < {thr}),
+        be AS (SELECT * FROM toked WHERE NOT ({h} < {thr})),
+        bg AS (SELECT DISTINCT array_to_string(toks[i:i+{n - 1}], ' ') AS gram
+               FROM be, unnest(range(1, len(toks) - {n - 2})) AS t(i)
+               WHERE len(toks) >= {n}),
+        tg AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS gram
+               FROM tr, unnest(range(1, len(toks) - {n - 2})) AS t(i)
+               WHERE len(toks) >= {n})
+        SELECT doc_id, count(*) AS n_hit_grams
+        FROM tg JOIN bg USING (gram) GROUP BY doc_id
+    """
+
+
 _EXTRA_QUERIES = {
+    "repetition_stats": q_repetition_stats,
+    "decontam_hits": q_decontam_hits,
     "sample_fraction_det": q_sample_fraction_det,
     "sample_by_stratum": q_sample_by_stratum,
     "token_budget_cap": q_token_budget_cap,
@@ -1457,7 +1519,6 @@ _GATE_ORDER = [
     # dedup / similarity
     "dedup_exact",
     "minhash_signatures",
-    "lsh_band_buckets",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "jaccard_pairs_capped",
@@ -1475,6 +1536,8 @@ _GATE_ORDER = [
     "quality_score",
     "token_count_regex",
     "fingerprint",
+    "repetition_stats",
+    "decontam_hits",
     "multimodal_stub",
     # sampling / data mixing
     "sample_fraction_det",
@@ -1482,7 +1545,6 @@ _GATE_ORDER = [
     "token_budget_cap",
     "token_budget_ranked",
     "stratified_sample_k",
-    "hash_split_counts",
     # sessionization / sketches
     "sessionize_events",
     "tumbling_event_counts",
@@ -1494,6 +1556,10 @@ _GATE_ORDER = [
     "salted_agg_sums",
     "dedup_keep_min",
     "embedding_near_dups",
+    # r5: rotated out to make window room for repetition_stats +
+    # decontam_hits (new families). In-window siblings:
+    "hash_split_counts",  # <-> sample_fraction_det (same hash family)
+    "lsh_band_buckets",  # <-> lsh_candidate_pairs (banding end-to-end)
 ]
 
 
@@ -1578,6 +1644,8 @@ def oracle_sql() -> dict[str, str]:
     out["jaccard_pairs_capped"] = _jaccard_capped_sql()
     out["embedding_near_dups_lsh"] = _emb_lsh_sql()
     out["near_dup_components"] = _components_sql()
+    out["repetition_stats"] = _repetition_sql()
+    out["decontam_hits"] = _decontam_sql()
     from log_project_spark.operators.sampling import fraction_threshold
 
     out["sample_fraction_det"] = f"""

@@ -113,10 +113,22 @@ def with_shingles(
     df: DataFrame, tokens_col: str = "tokens", n: int = 3, out_col: str = "shingles"
 ) -> DataFrame:
     """n-token shingles as space-joined strings (rows with fewer than
-    n tokens get no shingles and are dropped)."""
+    n tokens get no shingles and are dropped).
+
+    The expression is TOTAL (CASE-guarded), not merely guarded by the
+    row filter: a downstream explode() pushes its `size(...) > 0`
+    predicate into the same Filter as the size >= n guard, and Spark
+    may evaluate the conjuncts in either order — on a row with fewer
+    than n tokens the unguarded `sequence(1, size-n+1)` yields a
+    DESCENDING sequence through 0 and `slice(toks, 0, n)` throws
+    INVALID_PARAMETER_VALUE.START at runtime (found r5 via
+    repetition_stats on an empty document; the same latent crash sat
+    under jaccard_pairs/minhash for any sub-n-token doc)."""
     expr = (
+        f"CASE WHEN size({tokens_col}) >= {n} THEN "
         f"transform(sequence(1, size({tokens_col}) - {n - 1}),"
-        f" i -> concat_ws(' ', slice({tokens_col}, i, {n})))"
+        f" i -> concat_ws(' ', slice({tokens_col}, i, {n}))) "
+        f"ELSE array() END"
     )
     return df.where(F.size(tokens_col) >= n).withColumn(out_col, F.expr(expr))
 

@@ -141,3 +141,54 @@ def with_fingerprint(
     return df.withColumn(
         out_col, F.substring(F.sha2(ws_collapsed_col(F.col(text_col)), 256), 1, bits // 4)
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Intra-document repetition signals, the quality filter family
+    published with Gopher (Rae et al. 2021, "Scaling Language Models",
+    §A1.1.2: documents dominated by a single repeated n-gram or with a
+    high duplicate-n-gram mass are boilerplate/spam and get dropped):
+
+      (id_col, n_grams, n_distinct_grams, top_gram_frac, dup_gram_frac)
+
+    over word n-grams of the lowercased text — top_gram_frac = share
+    of all n-gram occurrences taken by the most frequent n-gram,
+    dup_gram_frac = share of occurrences that are repeats
+    (1 - distinct/total). Documents with fewer than n tokens emit no
+    row (no n-gram exists to repeat).
+
+    Unlike the other operators in this module this one needs per-
+    document gram multiplicities, which no regexp arithmetic can
+    deliver — so it is a grouped plan, sized for the 100 TB table the
+    way the Jaccard index is: explode grams (linear in tokens), count
+    by (id, xxhash64(gram)) — a 16-byte composite key, never gram
+    text — then aggregate per id. Two exchanges, both keyed on
+    id(+hash); map-side partial aggregation absorbs the in-document
+    repetition this operator exists to measure. A 64-bit in-document
+    gram collision would merge two gram counts (overstating
+    repetition, the conservative side for a drop-filter);
+    hash_grams=False keeps the gram string for byte-exact audits and
+    the DuckDB oracle."""
+    from .dedup import with_shingles
+
+    toked = df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks__"))
+    grams = with_shingles(toked, tokens_col="__toks__", n=n, out_col="__sh__").select(
+        F.col(id_col), F.explode("__sh__").alias("__gram__")
+    )
+    if hash_grams:
+        grams = grams.withColumn("__gram__", F.xxhash64("__gram__"))
+    per_gram = grams.groupBy(id_col, "__gram__").agg(F.count(F.lit(1)).alias("__c__"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("__c__").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.round(F.max("__c__") / F.sum("__c__"), 6).alias("top_gram_frac"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("__c__"), 6
+        ).alias("dup_gram_frac"),
+    )

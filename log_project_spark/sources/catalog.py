@@ -17,7 +17,9 @@ Round-3 attempt at the real jar (VERDICT r2 #8): pulling
 org.apache.iceberg:iceberg-spark-runtime via spark.jars.packages needs
 Maven Central, and this sandbox has no network (DNS resolution for
 repo1.maven.org fails: URLError [Errno -2] Name or service not known,
-checked 2026-08-16, re-checked 2026-08-17 in round 4 — still no DNS);
+checked 2026-08-16, re-checked 2026-08-17 in rounds 4 and 5 — still no
+DNS; PIL/torchaudio/cv2/soundfile likewise still absent for the
+multimodal decode stub, re-checked round 5);
 no jar ships in the image either. The shim stays; the upgrade path
 above is the documented, unexercised real-Iceberg route.
 """

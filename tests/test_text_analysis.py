@@ -65,3 +65,51 @@ def test_fingerprint_whitespace_invariant(spark):
     assert got[0] == got[1]  # case + whitespace normalized
     assert got[0] != got[2]
     assert len(got[0]) == 16
+
+
+def _brute_repetition(text, n=2):
+    toks = [t for t in text.lower().split() if t]
+    grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return None
+    from collections import Counter
+
+    c = Counter(grams)
+    total, distinct, top = len(grams), len(c), max(c.values())
+    return (total, distinct, round(top / total, 6), round(1.0 - distinct / total, 6))
+
+
+def test_repetition_stats_brute_force(spark):
+    rows = [
+        (0, "spam spam spam spam spam spam"),            # one gram repeated
+        (1, "the cat sat on the mat the cat sat again"),
+        (2, "all words here are completely distinct tokens"),
+        (3, "solo"),                                      # < n tokens: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_grams"], r["n_distinct_grams"],
+            r["top_gram_frac"], r["dup_gram_frac"],
+        )
+        for r in ta.repetition_stats(df, n=2).collect()
+    }
+    want = {i: _brute_repetition(t) for i, t in rows if _brute_repetition(t)}
+    assert got == want
+    assert 3 not in got
+    assert got[0][2] == 1.0  # "spam spam" is every 2-gram
+    assert got[2][3] == 0.0  # no repeats
+
+
+def test_repetition_stats_hash_parity_and_plan(spark):
+    """Hashed-gram scale path == raw-string path, and no shuffle key
+    carries the gram text (16-byte (id, hash) composite only)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = ta.repetition_stats(docs, n=2, hash_grams=True)
+    b = ta.repetition_stats(docs, n=2, hash_grams=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            inner = ln.split("hashpartitioning(", 1)[1]
+            assert "text#" not in inner
