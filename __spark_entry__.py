@@ -1220,6 +1220,35 @@ def q_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.contamination_hits(train, bench, tokens_col="toks", n=5)
 
 
+def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.3) per-language mixing weights over
+    char mass — the weight-COMPUTATION step of data mixing (share,
+    sampling weight, implied epochs per language), feeding
+    token_budget_cap / sample_by_stratum."""
+    from log_project_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.mixing_weights(docs, ["lang"], weight_col="n_chars", alpha=0.3)
+
+
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language percentile curation gate: keep the top
+    20% (q=80) of each language by rounded stopword ratio,
+    rank-deterministic (ties by doc_id), lower-index k formula."""
+    from log_project_spark.operators.aggregate import percentile_rank_filter
+    from log_project_spark.operators.text_analysis import stopword_count
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = parse_ops.ws_collapsed_col(F.col("text"))
+    n_tok = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+    scored = docs.select(
+        "lang",
+        "doc_id",
+        F.round(stopword_count(norm, _STOPWORDS) / n_tok, 6).alias("stop_ratio"),
+    )
+    return percentile_rank_filter(scored, "stop_ratio", 80.0, ["lang"], "doc_id")
+
+
 def _repetition_sql(n: int = 2) -> str:
     return f"""
         WITH toked AS (SELECT doc_id, {_DUCK_WORD_TOKS} AS toks FROM documents),
@@ -1259,6 +1288,8 @@ def _decontam_sql(n: int = 5, frac: float = 0.875, seed: int = 7) -> str:
 _EXTRA_QUERIES = {
     "repetition_stats": q_repetition_stats,
     "decontam_hits": q_decontam_hits,
+    "mixing_weights": q_mixing_weights,
+    "quality_percentile_filter": q_quality_percentile_filter,
     "sample_fraction_det": q_sample_fraction_det,
     "sample_by_stratum": q_sample_by_stratum,
     "token_budget_cap": q_token_budget_cap,
@@ -1518,7 +1549,6 @@ _GATE_ORDER = [
     "transformer_calibrate",
     # dedup / similarity
     "dedup_exact",
-    "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "jaccard_pairs_capped",
@@ -1529,11 +1559,11 @@ _GATE_ORDER = [
     "corpus_curation",
     "ann_cosine_topk",
     "srp_buckets",
-    "ivf_assign",
     "ivf_topk",
     # text analysis / multimodal
     "lang_id_heuristic",
     "quality_score",
+    "quality_percentile_filter",
     "token_count_regex",
     "fingerprint",
     "repetition_stats",
@@ -1545,6 +1575,7 @@ _GATE_ORDER = [
     "token_budget_cap",
     "token_budget_ranked",
     "stratified_sample_k",
+    "mixing_weights",
     # sessionization / sketches
     "sessionize_events",
     "tumbling_event_counts",
@@ -1560,6 +1591,10 @@ _GATE_ORDER = [
     # decontam_hits (new families). In-window siblings:
     "hash_split_counts",  # <-> sample_fraction_det (same hash family)
     "lsh_band_buckets",  # <-> lsh_candidate_pairs (banding end-to-end)
+    # r5b: rotated out for mixing_weights + quality_percentile_filter
+    # (new families). In-window siblings:
+    "minhash_signatures",  # <-> lsh_candidate_pairs (minhash end-to-end)
+    "ivf_assign",  # <-> ivf_topk (assignment is its first stage)
 ]
 
 
@@ -1690,6 +1725,34 @@ def oracle_sql() -> dict[str, str]:
                                     ROWS UNBOUNDED PRECEDING) AS cum
           FROM documents)
         WHERE cum <= 5000
+    """
+    out["mixing_weights"] = """
+        WITH s AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS tokens
+                   FROM documents GROUP BY lang),
+        t AS (SELECT lang, tokens,
+                     CAST(tokens AS DOUBLE) / sum(tokens) OVER () AS p,
+                     power(CAST(tokens AS DOUBLE) / sum(tokens) OVER (), 0.3) AS r
+              FROM s)
+        SELECT lang, tokens, round(p, 6) AS share,
+               round(r / sum(r) OVER (), 6) AS weight,
+               round((r / sum(r) OVER ()) / p, 6) AS epochs
+        FROM t
+    """
+    stop_list = "['the','a','of','and','to','in','is','it']"
+    out["quality_percentile_filter"] = f"""
+        WITH toked AS (SELECT lang, doc_id, {_DUCK_WORD_TOKS} AS toks FROM documents),
+        scored AS (
+          SELECT lang, doc_id,
+                 round(CAST(len(list_filter(toks, x -> list_contains({stop_list}, x))) AS DOUBLE)
+                       / len(toks), 6) AS stop_ratio
+          FROM toked),
+        ranked AS (
+          SELECT lang, doc_id, stop_ratio,
+                 row_number() OVER (PARTITION BY lang ORDER BY stop_ratio, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM scored)
+        SELECT lang, doc_id, stop_ratio FROM ranked
+        WHERE rn >= CAST(floor(0.8 * (n - 1)) AS BIGINT) + 1
     """
     return out
 

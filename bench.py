@@ -46,7 +46,9 @@ BENCH_PIPELINE_ROWS (default 16_000_000), BENCH_ROUTED_ROWS (default
 8_000_000), BENCH_SKEW_ROWS (default 8_000_000), BENCH_SCALE_N
 (default 2), BENCH_PAIRS_MAIN (default 5), BENCH_PAIRS_ROUTED
 (default 5), BENCH_PAIRS_SKEW (default 3), BENCH_SKIP_SCALING=1,
-BENCH_SKIP_ROUTED=1, BENCH_SKIP_SKEW=1, BENCH_PASS_TIMEOUT (default 900s
+BENCH_SKIP_ROUTED=1, BENCH_SKIP_SKEW=1, BENCH_SKIP_HEADLINE=1
+(legs-only capture, e.g. the sf1 scaling-evidence run),
+BENCH_PASS_TIMEOUT (default 900s
 per timed pass; a wedged pass truncates the leg, keeping finished
 pairs), BENCH_READY_TIMEOUT (default 2700s for warm-up+generation).
 """
@@ -710,7 +712,12 @@ def main() -> None:
     routed_rows = int(os.environ.get("BENCH_ROUTED_ROWS", "8000000"))
     skew_rows = int(os.environ.get("BENCH_SKEW_ROWS", "8000000"))
 
-    timings, headline_walls = run_headline(sf_dir, cpus)
+    if os.environ.get("BENCH_SKIP_HEADLINE", "") != "1":
+        timings, headline_walls = run_headline(sf_dir, cpus)
+    else:
+        # legs-only capture (e.g. the sf1 scaling-evidence run): the
+        # headline suite is covered by the standard per-round capture
+        timings, headline_walls = {}, {}
 
     def _leg(tag: str, fn) -> dict:
         """A leg that dies (wedged warm-up, server crash) must not

@@ -176,6 +176,55 @@ def approx_percentiles(
     return df.agg(*exprs)
 
 
+def percentile_rank_filter(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    group_cols: list[str],
+    tiebreak_col: str,
+    keep_low: bool = False,
+) -> DataFrame:
+    """Per-group percentile cut — the CCNet-style curation gate "keep
+    the top (100-q)% of each language by quality score" (Wenzek et al.
+    2020 §4.3 bucket their corpus by per-language LM-score quantiles;
+    Gopher/RefinedWeb apply the same shape with heuristic scores).
+
+    Rank semantics, not value semantics: rows are ordered within each
+    group by (score_col asc, tiebreak_col asc) and a row is kept iff
+    its 0-based rank >= k, with k = int((q/100) * (n-1)) — the same
+    lower-index formula as the reference's exact percentile (A1,
+    /root/reference/src/stream.py:138-143), so the percentile row
+    itself is always kept and exactly n-k rows survive per group.
+    Ranking (vs `score >= value-at-k`) keeps the output a deterministic
+    pure function of the frame under ties, restatable as one SQL
+    window — the DuckDB oracle. keep_low=True inverts to "keep the
+    bottom q%" (rank < k + 1 on the same ordering) for drop-the-best
+    workloads (e.g. decontaminating a held-out slice).
+
+    Cost: ONE exchange keyed on the group columns; rank and group size
+    ride the same window sort (spillable). This is the honest price of
+    an exact data-dependent cut — k depends on n, so Spark's
+    WindowGroupLimit top-k pruning cannot apply. For a fixed COUNT per
+    group use stratified_sample_exact (prunes map-side); for a global
+    approximate threshold at 10^12 rows compute it once with
+    approx_percentiles and filter scan-side."""
+    from pyspark.sql import Window
+
+    if not 0.0 <= q <= 100.0:
+        raise ValueError(f"q must be in [0, 100], got {q}")
+    w = Window.partitionBy(*group_cols)
+    rn = F.row_number().over(w.orderBy(F.col(score_col).asc(), F.col(tiebreak_col).asc()))
+    n = F.count(F.lit(1)).over(w)
+    k = F.floor(F.lit(q / 100.0) * (n - F.lit(1)).cast("double")).cast("long")
+    ranked = df.withColumn("__rn__", rn.cast("long")).withColumn("__k__", k)
+    keep = (
+        (F.col("__rn__") <= F.col("__k__"))
+        if keep_low
+        else (F.col("__rn__") >= F.col("__k__") + F.lit(1))
+    )
+    return ranked.where(keep).select(*df.columns)
+
+
 # ---------------------------------------------------------------------------
 # TPR @ target FPR (A3, src/stream.py:146-158)
 # ---------------------------------------------------------------------------

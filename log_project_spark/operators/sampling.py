@@ -475,3 +475,54 @@ def token_budget_cap(
         out.unpersist()
         return result
     return result.drop("__cum__")
+
+
+def mixing_weights(
+    df: DataFrame,
+    strata_cols: list[str],
+    weight_col: str | None = None,
+    alpha: float = 0.3,
+    dp: int = 6,
+) -> DataFrame:
+    """Temperature-scaled data-mixing weights per stratum — the weight-
+    COMPUTATION step that feeds `token_budget_cap`/`sample_by_stratum`.
+
+    The standard multilingual/multi-source recipe (Conneau & Lample
+    2019 §3.1; used for XLM-R, mT5, and most pretraining mixes since):
+    with p_s the stratum's share of total mass (sum of `weight_col`,
+    row count when None), sample from q_s = p_s^alpha / sum_t p_t^alpha.
+    alpha=1 keeps natural proportions, alpha=0 is uniform over strata,
+    alpha~0.3 is the published low-resource-upsampling sweet spot.
+
+    Returns one row per stratum:
+      strata_cols..., tokens (bigint), share = p_s, weight = q_s,
+      epochs = q_s / p_s (the implied number of passes over the stratum
+      when the mixed corpus is sampled to the original total size; > 1
+      means upsampling/repetition, the quantity capped in practice by
+      repetition-aware scaling laws).
+    share/weight/epochs are rounded (dp) for cross-engine comparison.
+
+    Scale: one partial-aggregated exchange keyed on the strata columns
+    reduces the corpus to |strata| rows; both normalizations are
+    whole-frame windows over that tiny aggregated frame (single
+    reducer by construction — the frame IS driver-sized). Nothing else
+    touches the 100 TB side."""
+    from pyspark.sql import Window
+
+    if weight_col is None:
+        mass = F.count(F.lit(1))
+    else:
+        mass = F.sum(F.col(weight_col))
+    per = df.groupBy(*strata_cols).agg(mass.cast("long").alias("tokens"))
+    w_all = Window.partitionBy()
+    share = F.col("tokens").cast("double") / F.sum("tokens").over(w_all)
+    raw = F.pow(share, F.lit(float(alpha)))
+    staged = per.select(*strata_cols, "tokens", share.alias("__p__"), raw.alias("__r__"))
+    weight = F.col("__r__") / F.sum("__r__").over(w_all)
+    return staged.select(
+        *strata_cols,
+        "tokens",
+        F.round(F.col("__p__"), dp).alias("share"),
+        F.round(weight, dp).alias("weight"),
+        F.round(weight / F.col("__p__"), dp).alias("epochs"),
+    )

@@ -68,6 +68,59 @@ AUDITS = [
         ["TakeOrderedAndProject"],
         [],
     ),
+    (
+        "decontam_hits",
+        "gram membership via broadcast LEFT SEMI join (train side never "
+        "shuffles for it); no text column on any exchange key",
+        ["BroadcastHashJoin", "LeftSemi"],
+        ["SortMergeJoin", "hashpartitioning(text"],
+    ),
+    (
+        "repetition_stats",
+        "gram multiplicities keyed on (doc_id, xxhash64(gram)) — 16-byte "
+        "composite, never gram text; map-side partial aggregation present",
+        ["partial_count", "xxhash64"],
+        ["hashpartitioning(text"],
+    ),
+    (
+        "dedup_keep_min",
+        "row-level exact dedup (dedup.dedup_exact): the one exchange "
+        "partitions on 8-byte xxhash64(text) — the document payload never "
+        "appears in a shuffle key (VERDICT r3 #1); a single WindowExec "
+        "computes both row_number and the lag used by the key-run keeper "
+        "filter",
+        ["xxhash64(text", "Window"],
+        ["hashpartitioning(text"],
+    ),
+    (
+        "sample_fraction_det",
+        "pure scan-side codegen filter: the portable-hash predicate is a "
+        "DataFilter on the parquet scan, zero Exchange anywhere",
+        ["FileScan parquet"],
+        ["Exchange"],
+    ),
+    (
+        "stratified_sample_k",
+        "Spark 4 WindowGroupLimit prunes each stratum to k map-side "
+        "BEFORE the single strata-keyed exchange",
+        ["WindowGroupLimit"],
+        [],
+    ),
+    (
+        "mixing_weights",
+        "the 100 TB side is reduced by a partial-aggregated exchange on "
+        "the strata key; the whole-frame normalization windows run on the "
+        "|strata|-row aggregate only",
+        ["partial_sum", "Exchange hashpartitioning"],
+        [],
+    ),
+    (
+        "quality_percentile_filter",
+        "exact per-group percentile cut: ONE exchange keyed on the group "
+        "column; rank and group size ride the same window sort",
+        ["Window", "Exchange hashpartitioning(lang"],
+        [],
+    ),
 ]
 
 

@@ -228,3 +228,69 @@ def test_approx_percentiles_rank_bound_and_plan(spark):
     plan = agg.approx_percentiles(df, "v", ps)._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
     assert "partial_percentile_approx" in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# percentile_rank_filter (CCNet-style per-group percentile curation gate)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def scored_groups(spark):
+    rng = random.Random(4242)
+    sizes = {"en": 100, "de": 37, "fr": 2}
+    rows = [(g, i, round(rng.uniform(0, 1), 6)) for g in ("en", "de", "fr") for i in range(sizes[g])]
+    return spark.createDataFrame(rows, "lang string, doc_id long, score double")
+
+
+def test_percentile_rank_filter_exact_survivor_count(spark, scored_groups):
+    """Exactly n - k rows survive per group, k = int(0.8 * (n-1)) —
+    the reference's lower-index formula, so the percentile row itself
+    is always kept (>= 1 survivor even for n=2)."""
+    out = agg.percentile_rank_filter(scored_groups, "score", 80.0, ["lang"], "doc_id")
+    got = {r["lang"]: r["c"] for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    for lang, n in {"en": 100, "de": 37, "fr": 2}.items():
+        assert got[lang] == n - int(0.8 * (n - 1))
+
+
+def test_percentile_rank_filter_keeps_top_scores(spark, scored_groups):
+    """Every kept row's score >= every dropped row's score within its
+    group (ranking by score asc keeps the suffix)."""
+    kept = agg.percentile_rank_filter(scored_groups, "score", 80.0, ["lang"], "doc_id")
+    kept_ids = {(r["lang"], r["doc_id"]) for r in kept.collect()}
+    rows = scored_groups.collect()
+    for lang in ("en", "de", "fr"):
+        ks = [r["score"] for r in rows if r["lang"] == lang and (lang, r["doc_id"]) in kept_ids]
+        ds = [r["score"] for r in rows if r["lang"] == lang and (lang, r["doc_id"]) not in kept_ids]
+        if ds:
+            assert min(ks) >= max(ds)
+
+
+def test_percentile_rank_filter_keep_low_partitions_frame(spark, scored_groups):
+    """keep_low=True returns exactly the complement of the default."""
+    hi = agg.percentile_rank_filter(scored_groups, "score", 80.0, ["lang"], "doc_id")
+    lo = agg.percentile_rank_filter(
+        scored_groups, "score", 80.0, ["lang"], "doc_id", keep_low=True
+    )
+    key = lambda df: {(r["lang"], r["doc_id"]) for r in df.collect()}
+    all_keys = key(scored_groups)
+    assert key(hi) | key(lo) == all_keys
+    assert key(hi) & key(lo) == set()
+
+
+def test_percentile_rank_filter_tie_determinism(spark):
+    """All-tied scores: the tiebreak column makes the cut a pure
+    function of the frame — highest doc_ids survive, any partitioning."""
+    rows = [("en", i, 0.5) for i in range(10)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, score double")
+    a = {r["doc_id"] for r in agg.percentile_rank_filter(df, "score", 80.0, ["lang"], "doc_id").collect()}
+    b = {r["doc_id"] for r in agg.percentile_rank_filter(df.repartition(7), "score", 80.0, ["lang"], "doc_id").collect()}
+    # n=10, k=int(0.8*9)=7 -> ranks 8..10 survive = doc_ids 7,8,9
+    assert a == b == {7, 8, 9}
+
+
+def test_percentile_rank_filter_schema_and_q_validation(spark, scored_groups):
+    out = agg.percentile_rank_filter(scored_groups, "score", 80.0, ["lang"], "doc_id")
+    assert out.columns == scored_groups.columns  # helper cols dropped
+    with pytest.raises(ValueError):
+        agg.percentile_rank_filter(scored_groups, "score", 101.0, ["lang"], "doc_id")

@@ -404,3 +404,54 @@ def test_hash60_matches_duckdb(spark, docs):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# mixing_weights (temperature-scaled data mixing)
+# ---------------------------------------------------------------------------
+
+
+def test_mixing_weights_alpha1_is_natural(spark, docs):
+    """alpha=1 keeps natural proportions: weight == share, epochs == 1."""
+    out = sampling.mixing_weights(docs, ["lang"], weight_col="n_chars", alpha=1.0).collect()
+    assert len(out) > 1
+    for r in out:
+        assert r["weight"] == r["share"]
+        assert abs(r["epochs"] - 1.0) <= 1e-6
+
+
+def test_mixing_weights_alpha0_is_uniform(spark, docs):
+    """alpha=0 is uniform over strata regardless of mass."""
+    out = sampling.mixing_weights(docs, ["lang"], weight_col="n_chars", alpha=0.0).collect()
+    k = len(out)
+    for r in out:
+        assert abs(r["weight"] - 1.0 / k) <= 1e-6
+
+
+def test_mixing_weights_upsamples_low_resource(spark, docs):
+    """alpha in (0,1) moves weight from big to small strata: every
+    below-average-share stratum gets weight > share (epochs > 1), every
+    above-average one gets weight < share; weights sum to 1; tokens are
+    the exact per-stratum char mass."""
+    out = sampling.mixing_weights(docs, ["lang"], weight_col="n_chars", alpha=0.3).collect()
+    assert abs(sum(r["weight"] for r in out) - 1.0) <= 1e-5
+    assert abs(sum(r["share"] for r in out) - 1.0) <= 1e-5
+    mean_share = 1.0 / len(out)
+    for r in out:
+        if r["share"] < mean_share - 1e-9:
+            assert r["epochs"] > 1.0
+        elif r["share"] > mean_share + 1e-9:
+            assert r["epochs"] < 1.0
+    want = {
+        (r["lang"],): r["m"]
+        for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("m")).collect()
+    }
+    got = {(r["lang"],): r["tokens"] for r in out}
+    assert got == want
+
+
+def test_mixing_weights_rowcount_mass(spark, docs):
+    """weight_col=None weights by row count."""
+    out = sampling.mixing_weights(docs, ["lang"], weight_col=None, alpha=1.0).collect()
+    want = {r["lang"]: r["c"] for r in docs.groupBy("lang").count().withColumnRenamed("count", "c").collect()}
+    assert {r["lang"]: r["tokens"] for r in out} == want
