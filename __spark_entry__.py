@@ -1249,6 +1249,18 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percentile_rank_filter(scored, "stop_ratio", 80.0, ["lang"], "doc_id")
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: fit an add-k bigram model on the
+    documents corpus (vocab 256, k=0.5) and score every >=2-token doc's
+    cross-entropy in bits/bigram. Feeds percentile_rank_filter(...,
+    keep_low=True) for the per-language perplexity bucket gate."""
+    from log_project_spark.operators import lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = lm_score.fit_bigram_lm(docs, "text", vocab_size=256, id_col="doc_id")
+    return lm_score.score_bigram_lm(docs, lm, "text", id_col="doc_id", k=0.5)
+
+
 def _repetition_sql(n: int = 2) -> str:
     return f"""
         WITH toked AS (SELECT doc_id, {_DUCK_WORD_TOKS} AS toks FROM documents),
@@ -1290,6 +1302,7 @@ _EXTRA_QUERIES = {
     "decontam_hits": q_decontam_hits,
     "mixing_weights": q_mixing_weights,
     "quality_percentile_filter": q_quality_percentile_filter,
+    "lm_perplexity": q_lm_perplexity,
     "sample_fraction_det": q_sample_fraction_det,
     "sample_by_stratum": q_sample_by_stratum,
     "token_budget_cap": q_token_budget_cap,
@@ -1552,7 +1565,6 @@ _GATE_ORDER = [
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "jaccard_pairs_capped",
-    "simhash60",
     "simhash_near_pairs",
     "near_dup_components",
     "embedding_near_dups_lsh",
@@ -1564,6 +1576,7 @@ _GATE_ORDER = [
     "lang_id_heuristic",
     "quality_score",
     "quality_percentile_filter",
+    "lm_perplexity",
     "token_count_regex",
     "fingerprint",
     "repetition_stats",
@@ -1595,6 +1608,8 @@ _GATE_ORDER = [
     # (new families). In-window siblings:
     "minhash_signatures",  # <-> lsh_candidate_pairs (minhash end-to-end)
     "ivf_assign",  # <-> ivf_topk (assignment is its first stage)
+    # r5c: rotated out for lm_perplexity (new family). In-window sibling:
+    "simhash60",  # <-> simhash_near_pairs (signature is its first stage)
 ]
 
 
@@ -1753,6 +1768,34 @@ def oracle_sql() -> dict[str, str]:
           FROM scored)
         SELECT lang, doc_id, stop_ratio FROM ranked
         WHERE rn >= CAST(floor(0.8 * (n - 1)) AS BIGINT) + 1
+    """
+    out["lm_perplexity"] = f"""
+        WITH toked AS (SELECT doc_id, {_DUCK_WORD_TOKS} AS toks FROM documents),
+        uni AS (SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS pos
+                FROM toked),
+        raw_uni AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+        vocab AS (SELECT tok FROM raw_uni ORDER BY c DESC, tok LIMIT 256),
+        big AS (
+          SELECT doc_id,
+                 lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                 tok AS w2
+          FROM uni QUALIFY w1 IS NOT NULL),
+        vb AS (
+          SELECT doc_id,
+                 CASE WHEN w1 IN (SELECT tok FROM vocab) THEN w1 ELSE '<unk>' END AS v1,
+                 CASE WHEN w2 IN (SELECT tok FROM vocab) THEN w2 ELSE '<unk>' END AS v2
+          FROM big),
+        c2 AS (SELECT v1, v2, count(*) AS c2 FROM vb GROUP BY v1, v2),
+        c1 AS (SELECT v1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY v1),
+        vs AS (SELECT count(*) + 1 AS v FROM vocab),
+        scored AS (
+          SELECT vb.doc_id,
+                 log2((c2.c2 + 0.5) / (c1.c1 + 0.5 * vs.v)) AS logp
+          FROM vb JOIN c2 USING (v1, v2) JOIN c1 USING (v1) CROSS JOIN vs)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(-avg(logp), 6) AS xent
+        FROM scored GROUP BY doc_id
     """
     return out
 
