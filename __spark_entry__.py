@@ -1261,6 +1261,65 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score.score_bigram_lm(docs, lm, "text", id_col="doc_id", k=0.5)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decision (Abbas et al. 2023) over the shared
+    deterministic IVF centroids: cluster by nearest centroid, then drop
+    any vector whose cosine to a lower-(centroid_sim, id)-ordered
+    cluster-mate is >= 0.35. impl='expr' keeps every dot product a
+    sequential Catalyst fold, bit-identical to list_dot_product."""
+    from log_project_spark.operators import semdedup as sd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sd.semdedup(emb, _IVF_CENTROIDS, eps=0.35, impl="expr")
+
+
+def _semdedup_sql(eps: float = 0.35) -> str:
+    """Same argmax chain as _ivf_sql, carrying the winning dot and the
+    vector so centroid_sim and the dominance pairs restate exactly."""
+
+    def lit(vec):
+        return "[" + ",".join(repr(x) for x in vec) + "]"
+
+    dots = ", ".join(
+        f"list_dot_product(v, {lit(c)}) AS d{i}"
+        for i, c in enumerate(_IVF_CENTROIDS)
+    )
+    return f"""
+        WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {dots}
+                   FROM embeddings),
+        s1 AS (SELECT vec_id, v, d2, d3,
+                      CASE WHEN d1 > d0 THEN 1 ELSE 0 END AS b,
+                      CASE WHEN d1 > d0 THEN d1 ELSE d0 END AS bv FROM d),
+        s2 AS (SELECT vec_id, v, d3,
+                      CASE WHEN d2 > bv THEN 2 ELSE b END AS b,
+                      CASE WHEN d2 > bv THEN d2 ELSE bv END AS bv FROM s1),
+        s3 AS (SELECT vec_id, v, CASE WHEN d3 > bv THEN 3 ELSE b END AS b,
+                      CASE WHEN d3 > bv THEN d3 ELSE bv END AS bv FROM s2),
+        base AS (
+          SELECT vec_id, v, CAST(b AS INT) AS cluster,
+                 round(CASE WHEN sqrt(list_dot_product(v, v)) <> 0
+                            THEN bv / sqrt(list_dot_product(v, v)) END, 6)
+                   AS centroid_sim
+          FROM s3),
+        dropped AS (
+          SELECT DISTINCT late.vec_id
+          FROM base early JOIN base late
+            ON early.cluster = late.cluster
+           AND (early.centroid_sim < late.centroid_sim
+                OR (early.centroid_sim = late.centroid_sim
+                    AND early.vec_id < late.vec_id))
+          WHERE sqrt(list_dot_product(early.v, early.v)) <> 0
+            AND sqrt(list_dot_product(late.v, late.v)) <> 0
+            AND round(list_dot_product(early.v, late.v)
+                      / (sqrt(list_dot_product(early.v, early.v))
+                         * sqrt(list_dot_product(late.v, late.v))), 6) >= {eps})
+        SELECT base.vec_id, cluster, centroid_sim,
+               CAST(CASE WHEN dropped.vec_id IS NULL THEN 1 ELSE 0 END AS INT)
+                 AS kept
+        FROM base LEFT JOIN dropped ON base.vec_id = dropped.vec_id
+    """
+
+
 def _repetition_sql(n: int = 2) -> str:
     return f"""
         WITH toked AS (SELECT doc_id, {_DUCK_WORD_TOKS} AS toks FROM documents),
@@ -1303,6 +1362,7 @@ _EXTRA_QUERIES = {
     "mixing_weights": q_mixing_weights,
     "quality_percentile_filter": q_quality_percentile_filter,
     "lm_perplexity": q_lm_perplexity,
+    "semdedup_embeddings": q_semdedup,
     "sample_fraction_det": q_sample_fraction_det,
     "sample_by_stratum": q_sample_by_stratum,
     "token_budget_cap": q_token_budget_cap,
@@ -1570,7 +1630,7 @@ _GATE_ORDER = [
     "embedding_near_dups_lsh",
     "corpus_curation",
     "ann_cosine_topk",
-    "srp_buckets",
+    "semdedup_embeddings",
     "ivf_topk",
     # text analysis / multimodal
     "lang_id_heuristic",
@@ -1610,6 +1670,8 @@ _GATE_ORDER = [
     "ivf_assign",  # <-> ivf_topk (assignment is its first stage)
     # r5c: rotated out for lm_perplexity (new family). In-window sibling:
     "simhash60",  # <-> simhash_near_pairs (signature is its first stage)
+    # r5d: rotated out for semdedup_embeddings (new family). In-window sibling:
+    "srp_buckets",  # <-> embedding_near_dups_lsh (SRP banding end-to-end)
 ]
 
 
@@ -1797,6 +1859,7 @@ def oracle_sql() -> dict[str, str]:
                round(-avg(logp), 6) AS xent
         FROM scored GROUP BY doc_id
     """
+    out["semdedup_embeddings"] = _semdedup_sql()
     return out
 
 
