@@ -1273,6 +1273,70 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sd.semdedup(emb, _IVF_CENTROIDS, eps=0.35, impl="expr")
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed {1,2}-gram
+    models of the lang='en' target vs the full corpus, per-doc
+    log-likelihood-ratio weights, deterministic Gumbel-top-50
+    selection. Returns ALL weighted docs with the selected flag so the
+    oracle verifies weights, keys, and the cut."""
+    from log_project_spark.operators import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return dsir.dsir_select(docs, target, k=50, buckets=4096)
+
+
+def _dsir_sql(
+    k: int = 50, buckets: int = 4096, seed: int = 7, gumbel_seed: int = 99
+) -> str:
+    """Restates dsir_select exactly: same md5-prefix feature hash, the
+    same add-1 model algebra over both corpora, the same rounded
+    Gumbel keys, the same (gkey desc, id asc) top-k cut."""
+    hash60 = (
+        lambda expr, s: f"CAST(('0x' || substring(md5({expr} || '|{s}'), 1, 15)) AS BIGINT)"
+    )
+    u_denom = repr(float((1 << 60) + 2))
+    return f"""
+        WITH toked AS (SELECT doc_id, lang, {_DUCK_WORD_TOKS} AS toks FROM documents),
+        g1 AS (SELECT doc_id, lang, unnest(toks) AS gram FROM toked),
+        g2 AS (
+          SELECT doc_id, lang, array_to_string(toks[i:i+1], ' ') AS gram
+          FROM toked, unnest(range(1, len(toks))) AS t(i)
+          WHERE len(toks) >= 2),
+        feats AS (
+          SELECT doc_id, lang,
+                 {hash60('gram', seed)} % {buckets} AS feature
+          FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)),
+        raw_counts AS (SELECT feature, count(*) AS c FROM feats GROUP BY feature),
+        raw_total AS (SELECT CAST(sum(c) AS DOUBLE) + {buckets} AS denom FROM raw_counts),
+        tgt_counts AS (SELECT feature, count(*) AS c FROM feats
+                       WHERE lang = 'en' GROUP BY feature),
+        tgt_total AS (SELECT CAST(sum(c) AS DOUBLE) + {buckets} AS denom FROM tgt_counts),
+        scored AS (
+          SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                 round(sum(
+                   ln(coalesce(t.c + 1.0, 1.0) / (SELECT denom FROM tgt_total))
+                   - ln(coalesce(r.c + 1.0, 1.0) / (SELECT denom FROM raw_total))
+                 ), 6) AS logw
+          FROM feats f
+          LEFT JOIN tgt_counts t ON f.feature = t.feature
+          LEFT JOIN raw_counts r ON f.feature = r.feature
+          GROUP BY f.doc_id),
+        keyed AS (
+          SELECT doc_id, n_feats, logw,
+                 round(logw + -ln(-ln(
+                   ({hash60('CAST(doc_id AS VARCHAR)', gumbel_seed)} + 1.0)
+                   / {u_denom})), 6) AS gkey
+          FROM scored),
+        ranked AS (
+          SELECT *, row_number() OVER (ORDER BY gkey DESC, doc_id ASC) AS rn
+          FROM keyed)
+        SELECT doc_id, n_feats, logw, gkey,
+               CAST(CASE WHEN rn <= {k} THEN 1 ELSE 0 END AS INT) AS selected
+        FROM ranked
+    """
+
+
 def _semdedup_sql(eps: float = 0.35) -> str:
     """Same argmax chain as _ivf_sql, carrying the winning dot and the
     vector so centroid_sim and the dominance pairs restate exactly."""
@@ -1363,6 +1427,7 @@ _EXTRA_QUERIES = {
     "quality_percentile_filter": q_quality_percentile_filter,
     "lm_perplexity": q_lm_perplexity,
     "semdedup_embeddings": q_semdedup,
+    "dsir_select": q_dsir_select,
     "sample_fraction_det": q_sample_fraction_det,
     "sample_by_stratum": q_sample_by_stratum,
     "token_budget_cap": q_token_budget_cap,
@@ -1623,7 +1688,6 @@ _GATE_ORDER = [
     # dedup / similarity
     "dedup_exact",
     "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",
     "jaccard_pairs_capped",
     "simhash_near_pairs",
     "near_dup_components",
@@ -1637,6 +1701,7 @@ _GATE_ORDER = [
     "quality_score",
     "quality_percentile_filter",
     "lm_perplexity",
+    "dsir_select",
     "token_count_regex",
     "fingerprint",
     "repetition_stats",
@@ -1672,6 +1737,8 @@ _GATE_ORDER = [
     "simhash60",  # <-> simhash_near_pairs (signature is its first stage)
     # r5d: rotated out for semdedup_embeddings (new family). In-window sibling:
     "srp_buckets",  # <-> embedding_near_dups_lsh (SRP banding end-to-end)
+    # r5e: rotated out for dsir_select (new family). In-window sibling:
+    "ngram_jaccard_pairs",  # <-> jaccard_pairs_capped (same kernel, cap ON)
 ]
 
 
@@ -1860,6 +1927,7 @@ def oracle_sql() -> dict[str, str]:
         FROM scored GROUP BY doc_id
     """
     out["semdedup_embeddings"] = _semdedup_sql()
+    out["dsir_select"] = _dsir_sql()
     return out
 
 
