@@ -545,14 +545,43 @@ def run_scaling(rows: int, profile: dict, tag: str, pairs: int) -> dict:
     small = _Server(small_cpus, rows, input_path, profile)
     pair_results = []
     timed_out = False
+    # Incremental evidence file: the sandbox host is restarted out from
+    # under long runs (~50-min windows observed), and a killed parent
+    # loses everything buffered in memory. Flush the leg state to disk
+    # after EVERY completed step so a truncated run still leaves a
+    # verifiable partial capture (warm walls + each finished pair).
+    progress_path = os.path.join(REPO, "BENCH", f"scaling_progress_{tag}.json")
+
+    def _flush_progress(stage: str, warm: dict | None = None) -> None:
+        os.makedirs(os.path.dirname(progress_path), exist_ok=True)
+        with open(progress_path, "w") as f:
+            json.dump(
+                {
+                    "tag": tag,
+                    "rows": rows,
+                    "n_small": small_cpus,
+                    "n_big": big_cpus,
+                    "pairs_planned": pairs,
+                    "stage": stage,
+                    "warm": warm,
+                    "pair_results": pair_results,
+                },
+                f,
+                indent=1,
+            )
+
     try:
-        big.wait_ready()
-        small.wait_ready()
+        _flush_progress("warming")
+        warm_big = big.wait_ready()
+        warm_small = small.wait_ready()
+        _flush_progress("warmed", {"big": warm_big, "small": warm_small})
         for i in range(pairs):
             b = big.timed_pass()
             s = small.timed_pass()
             eff_i = b["turns_per_sec"] / (4.0 * s["turns_per_sec"])
             pair_results.append({"big": b, "small": s, "eff": round(eff_i, 3)})
+            _flush_progress(f"pair {i + 1}/{pairs} done",
+                            {"big": warm_big, "small": warm_small})
             print(
                 f"[bench] {tag} pair {i + 1}/{pairs}: big {b['wall_sec']}s, "
                 f"small {s['wall_sec']}s, eff {eff_i:.3f}",
