@@ -1337,6 +1337,50 @@ def _dsir_sql(
     """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing manifest over the documents corpus
+    (word-token counts, 256-token chunks, 4 hash shards): which token
+    span of which doc lands where in which training sequence. Pure
+    integer window arithmetic — exact in both engines."""
+    from log_project_spark.operators import packing
+    from log_project_spark.operators.parse import word_tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    ntok = docs.select(
+        "doc_id", F.size(word_tokens_col(F.col("text"))).alias("n_tok")
+    )
+    return packing.pack_sequences(ntok, "n_tok", chunk_len=256, n_shards=4, seed=11)
+
+
+def _pack_sql(chunk_len: int = 256, n_shards: int = 4, seed: int = 11) -> str:
+    h = _hash60_sql("doc_id", seed)
+    return f"""
+        WITH toked AS (
+          SELECT doc_id, len({_DUCK_WORD_TOKS}) AS n, {h} AS h FROM documents),
+        base AS (
+          SELECT doc_id, n, h, CAST(h % {n_shards} AS INT) AS shard
+          FROM toked WHERE n > 0),
+        placed AS (
+          SELECT doc_id, shard, n,
+                 CAST(sum(n) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n
+                      AS BIGINT) AS start
+          FROM base),
+        chunks AS (
+          SELECT doc_id, shard, n, start, c
+          FROM placed,
+               unnest(range(start // {chunk_len},
+                            (start + n - 1) // {chunk_len} + 1)) AS t(c))
+        SELECT shard, CAST(c AS BIGINT) AS chunk, doc_id,
+               CAST(greatest(start, c * {chunk_len}) - start AS BIGINT) AS doc_off,
+               CAST(greatest(start, c * {chunk_len}) - c * {chunk_len} AS BIGINT)
+                 AS chunk_off,
+               CAST(least(start + n, (c + 1) * {chunk_len})
+                    - greatest(start, c * {chunk_len}) AS BIGINT) AS len
+        FROM chunks
+    """
+
+
 def _semdedup_sql(eps: float = 0.35) -> str:
     """Same argmax chain as _ivf_sql, carrying the winning dot and the
     vector so centroid_sim and the dominance pairs restate exactly."""
@@ -1428,6 +1472,7 @@ _EXTRA_QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "semdedup_embeddings": q_semdedup,
     "dsir_select": q_dsir_select,
+    "pack_sequences": q_pack_sequences,
     "sample_fraction_det": q_sample_fraction_det,
     "sample_by_stratum": q_sample_by_stratum,
     "token_budget_cap": q_token_budget_cap,
@@ -1716,7 +1761,7 @@ _GATE_ORDER = [
     "mixing_weights",
     # sessionization / sketches
     "sessionize_events",
-    "tumbling_event_counts",
+    "pack_sequences",
     "approx_percentiles_global",
     # --- position 51+ (past the driver's 50-query cap): redundant
     # --- family siblings only, witnessed by CORRECTNESS_full_rNN.json
@@ -1739,6 +1784,8 @@ _GATE_ORDER = [
     "srp_buckets",  # <-> embedding_near_dups_lsh (SRP banding end-to-end)
     # r5e: rotated out for dsir_select (new family). In-window sibling:
     "ngram_jaccard_pairs",  # <-> jaccard_pairs_capped (same kernel, cap ON)
+    # r5f: rotated out for pack_sequences (new family). In-window sibling:
+    "tumbling_event_counts",  # <-> sessionize_events (same module, single-shuffle window plans)
 ]
 
 
@@ -1928,6 +1975,7 @@ def oracle_sql() -> dict[str, str]:
     """
     out["semdedup_embeddings"] = _semdedup_sql()
     out["dsir_select"] = _dsir_sql()
+    out["pack_sequences"] = _pack_sql()
     return out
 
 
