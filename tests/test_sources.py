@@ -241,6 +241,74 @@ def test_bench_compact_line_fits_tail_budget():
     assert len(_json.dumps(bench.compact_summary(bad))) < 1900
 
 
+def test_bench_scaling_resume_preloads_pairs(tmp_path, monkeypatch):
+    """BENCH_RESUME=1 (r5): a killed incarnation's completed pairs are
+    preloaded from the flushed progress file — the new incarnation runs
+    only the remaining pairs, and the capture reports pairs_resumed.
+    A progress file from a DIFFERENT leg shape (rows/levels) must be
+    ignored, or a resumed sf0.1 run would claim sf1 pairs."""
+    import json as _json
+
+    import bench
+
+    calls = {"passes": 0}
+
+    class FakeServer:
+        def __init__(self, cpus, rows, input_path, profile):
+            self.cpus = cpus
+
+        def wait_ready(self):
+            return {"cpus": self.cpus, "wall_sec": 9.0, "rows": 100,
+                    "turns_per_sec": 100.0, "sink_counts": {"nominal": 100}}
+
+        def timed_pass(self):
+            calls["passes"] += 1
+            tps = 400.0 if self.cpus == 16 else 110.0
+            return {"cpus": self.cpus, "wall_sec": 100.0 / tps, "rows": 100,
+                    "turns_per_sec": tps, "sink_counts": {"nominal": 100}}
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    monkeypatch.setattr(bench, "_Server", FakeServer)
+    monkeypatch.setenv("BENCH_RESUME", "1")
+    monkeypatch.setenv("BENCH_SCALE_N", "4")
+    cache = tmp_path / ".cache" / "bench_transcripts_main_160"
+    cache.mkdir(parents=True)
+    (cache / "_SUCCESS").touch()
+    done_pair = {
+        "big": {"cpus": 16, "wall_sec": 0.26, "rows": 100,
+                "turns_per_sec": 390.0, "sink_counts": {"nominal": 100}},
+        "small": {"cpus": 4, "wall_sec": 0.95, "rows": 100,
+                  "turns_per_sec": 105.0, "sink_counts": {"nominal": 100}},
+        "eff": 0.929,
+    }
+    progress = tmp_path / "BENCH" / "scaling_progress_main.json"
+    progress.parent.mkdir()
+    progress.write_text(_json.dumps({
+        "tag": "main", "rows": 160, "n_small": 4, "n_big": 16,
+        "pairs_planned": 3, "stage": "pair 2/3 done",
+        "pair_results": [done_pair, done_pair],
+    }))
+
+    out = bench.run_scaling(160, {"write_sinks": False}, "main", pairs=3)
+    assert calls["passes"] == 2  # one new pair = one big + one small pass
+    assert out["pairs_resumed"] == 2
+    assert len(out["pair_efficiencies"]) == 3
+    # best walls span resumed AND fresh pairs (fresh big tps 400 > 390)
+    assert out["turns_per_sec_big"] == 400.0
+    assert out["sink_counts_equal"] is True
+
+    # shape mismatch: same tag but different rows -> no preload
+    calls["passes"] = 0
+    cache2 = tmp_path / ".cache" / "bench_transcripts_main_161"
+    cache2.mkdir(parents=True)
+    (cache2 / "_SUCCESS").touch()
+    out2 = bench.run_scaling(161, {"write_sinks": False}, "main", pairs=1)
+    assert out2["pairs_resumed"] == 0 and calls["passes"] == 2
+
+
 def _ledger(spark, rows):
     return spark.createDataFrame(
         rows,
