@@ -243,6 +243,20 @@ def _ui_straggle(ui_url: str, new_stages: dict, min_tasks: int = 8) -> dict:
     return worst
 
 
+def _resolve_warm_input(input_path: str) -> str:
+    """Alternate input for the UNTIMED warm-up passes only, via
+    BENCH_WARM_INPUT. Used by the sf1 legs: a full-size warm at
+    local[2] over 160M rows exceeds the sandbox's process-kill
+    windows, so each resumed incarnation would die mid-warm and the
+    leg could never record a pair. Must point at an already-generated
+    cached input (same writer, same layout) — silently ignored
+    otherwise so a typo degrades to the safe full-size warm."""
+    warm = os.environ.get("BENCH_WARM_INPUT", "")
+    if warm and os.path.exists(os.path.join(warm, "_SUCCESS")):
+        return warm
+    return input_path
+
+
 def pipeline_server(cpus: int, rows: int, input_path: str, profile: dict) -> None:
     """Persistent child: build the session, run one warm-up pass, then
     answer PASS commands on stdin with one timed pass each (protocol
@@ -282,10 +296,8 @@ def pipeline_server(cpus: int, rows: int, input_path: str, profile: dict) -> Non
         mode="baseline", scope="conv_id",
         window=profile["window"], warmup=profile["warmup"],
     )
-    model_cache = f"{input_path}.model.pkl"
-    sink_dir = f"{input_path}.sinks.{cpus}"
 
-    def skew_pass() -> dict:
+    def skew_pass(path: str = input_path) -> dict:
         """Skew leg: parse -> salted two-phase per-conv aggregate over
         the 30%-hot table; cross-level equality is checked on the full
         aggregate result via an order-independent checksum. The
@@ -294,7 +306,7 @@ def pipeline_server(cpus: int, rows: int, input_path: str, profile: dict) -> Non
         plan — aggregating only raw columns turned the leg into a thin
         scan that never exercised the CPU-bound stage it claims to
         measure (observed: local[2] within 1.5x of local[8])."""
-        df = spark.read.parquet(input_path)
+        df = spark.read.parquet(path)
         pre_stages = _ui_completed_stages(ui_url) if capture else {}
         t0 = time.perf_counter()
         parsed = parse_stage(df).select(
@@ -336,7 +348,8 @@ def pipeline_server(cpus: int, rows: int, input_path: str, profile: dict) -> Non
             out["straggle"] = _ui_straggle(ui_url, new)
         return out
 
-    def pipeline_pass() -> dict:
+    def pipeline_pass(path: str = input_path) -> dict:
+        sink_dir = f"{path}.sinks.{cpus}"
         if profile["write_sinks"]:
             # harness bookkeeping, untimed: clear the previous pass's
             # fan-out output so the timed overwrite never pays the
@@ -345,13 +358,15 @@ def pipeline_server(cpus: int, rows: int, input_path: str, profile: dict) -> Non
             import shutil
 
             shutil.rmtree(sink_dir, ignore_errors=True)
-        df = spark.read.parquet(input_path)
+        df = spark.read.parquet(path)
         t0 = time.perf_counter()
         parsed = parse_stage(df)
         enriched = enrich_ops.enrich_roles_tools(
             parsed, synth.role_dim(spark), synth.tool_dim(spark)
         )
-        model = scoring.fit_baseline_model(enriched, cfg, cache_path=model_cache)
+        model = scoring.fit_baseline_model(
+            enriched, cfg, cache_path=f"{path}.model.pkl"
+        )
         scored = calibrate(
             enriched.drop("tokens"),
             cfg,
@@ -406,12 +421,22 @@ def pipeline_server(cpus: int, rows: int, input_path: str, profile: dict) -> Non
     # by default: measured walls kept dropping through the first 2-3
     # passes at the 8-core level (45.7 -> 43.7 -> 37.0 s on the main
     # leg) — one pass compiles, the second settles the JIT tiers.
+    # BENCH_WARM_INPUT (sf1 resume protocol): warm on a smaller cached
+    # input — everything the warm exists for (JIT tiers, codegen
+    # caches, Python daemons, model/broadcast load) is row-count
+    # independent, while a full-size warm pass at local[2]/160M rows
+    # is ~30 min, longer than the sandbox's observed kill windows, so
+    # an incarnation could die warming forever. Timed passes always
+    # run on the full input; the first timed pair additionally pays
+    # the (level-shared) page-cache fill, which the min-walls
+    # selection rule absorbs.
+    warm_path = _resolve_warm_input(input_path)
     for _ in range(int(os.environ.get("BENCH_WARMUP_PASSES", "2")) - 1):
-        one_pass()
-    warm = one_pass()
+        one_pass(warm_path)
+    warm = one_pass(warm_path)
     if profile["write_sinks"]:
         # one untimed verification: files on disk == observed counts
-        written = spark.read.parquet(sink_dir)
+        written = spark.read.parquet(f"{warm_path}.sinks.{cpus}")
         on_disk = {
             r["sink"]: r["n"]
             for r in written.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
