@@ -374,6 +374,14 @@ def pipeline_server(cpus: int, rows: int, input_path: str, profile: dict) -> Non
             batch_score_fn=scoring.make_broadcast_scorer(model),
             batch_score_input="norm_text",
             layout="clustered",  # input written conv_id-clustered above
+            # Projection pushdown through the UDF boundary: the main
+            # leg consumes only sink counts downstream, so dead
+            # passthrough columns (text, ts, enrich attrs) must not
+            # ride the Arrow socket both ways — Catalyst cannot prune
+            # through mapInArrow, the operator does it declaratively.
+            # The routed leg keeps full width: its fan-out sinks
+            # persist whole rows, so every column is genuinely needed.
+            needed_cols=None if profile["write_sinks"] else (),
         )
         if profile["write_sinks"]:
             # the timed pass INCLUDES the single-pass fan-out write;

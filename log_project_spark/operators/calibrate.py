@@ -147,6 +147,7 @@ def calibrate(
     drop_score_input: bool = True,
     layout: str = "shuffle",
     engine: str = "arrow",
+    needed_cols: Iterable[str] | None = None,
 ) -> DataFrame:
     """Attach (score, thr, is_anom, is_drift) to every row via the
     grouped stateful kernel. All input columns pass through, so no
@@ -159,6 +160,20 @@ def calibrate(
     `batch_score_input` (default 'norm_text') — one Arrow round trip
     for score+calibrate instead of two. Semantics are identical to
     scoring first (the scorer is per-row/stateless).
+
+    Projection pushdown through the UDF boundary: `needed_cols`, when
+    given, prunes the input to exactly (group keys + order cols + the
+    score input/column + needed_cols) BEFORE the kernel, and the
+    output carries only those plus (score, thr, is_anom, is_drift).
+    mapInArrow/mapInPandas are opaque to Catalyst, so without this the
+    full row rides the Arrow socket JVM->Python->JVM twice (and the
+    exchange, in layout="shuffle") even when downstream consumes two
+    columns — at 100 TB the dead passthrough bytes, not the kernel,
+    are the bottleneck (measured on the sf1 bench: 12 columns shipped,
+    2 consumed). Kernel semantics never depend on passthrough columns,
+    so results are bit-identical to the full-width run (pytest-pinned).
+    Default None keeps full passthrough for callers that persist whole
+    rows (fan-out sinks).
 
     layout="clustered" declares that the input is ALREADY group-
     contiguous and turn-ordered (each group's rows contiguous within
@@ -194,6 +209,22 @@ def calibrate(
     drift_kind, delta = cfg.drift_detector, cfg.adwin_delta
     sleep_ms = getattr(cfg, "sleep_ms", 0.0)
     scope_keys = list(group_keys) if group_keys is not None else cfg.scope_keys()
+
+    if needed_cols is not None:
+        # manual projection pushdown (see docstring): keep only what
+        # the kernel reads plus what the caller declared downstream
+        kernel_in = (
+            (batch_score_input or "norm_text") if batch_score_fn is not None
+            else score_col
+        )
+        keep: list[str] = []
+        for c in [*scope_keys, *order_cols, kernel_in, *needed_cols]:
+            if c not in keep:
+                keep.append(c)
+        missing = [c for c in keep if c not in df.columns]
+        if missing:
+            raise ValueError(f"needed_cols not in input: {missing}")
+        df = df.select(*keep)
 
     if batch_score_fn is not None:
         input_col = batch_score_input or "norm_text"

@@ -196,6 +196,49 @@ def test_arrow_engine_matches_pandas_engine(spark):
     assert a == b
 
 
+def test_needed_cols_projection_matches_full_width(spark):
+    """needed_cols prunes dead passthrough columns at the UDF boundary
+    (Catalyst can't see through mapInArrow) without changing kernel
+    outputs: per-(conv_id, turn_idx) results are bit-identical to the
+    full-width run, the schema is exactly the declared projection, and
+    fused scoring still works on the pruned input."""
+    from log_project_spark import synth
+    from log_project_spark.operators import parse as parse_ops
+
+    t = synth.transcripts(spark, 2000, n_convs=40, anom_ratio=0.05, seed=11)
+    t = t.withColumn("norm_text", parse_ops.norm_text_col(F.col("text")))
+    cfg = PipelineConfig(scope="conv_id", window=80, warmup=10, drift_detector="adwin")
+
+    def fake_scorer(texts):
+        return np.asarray([float(len(s)) for s in texts])
+
+    full = calibrate(
+        t, cfg, batch_score_fn=fake_scorer, batch_score_input="norm_text"
+    )
+    narrow = calibrate(
+        t, cfg, batch_score_fn=fake_scorer, batch_score_input="norm_text",
+        needed_cols=(),
+    )
+    assert narrow.columns == ["conv_id", "turn_idx", "score", "thr",
+                              "is_anom", "is_drift"]
+    key = lambda r: (r["conv_id"], r["turn_idx"])  # noqa: E731
+    val = lambda r: (r["score"], r["thr"], r["is_anom"], r["is_drift"])  # noqa: E731
+    a = {key(r): val(r) for r in full.collect()}
+    b = {key(r): val(r) for r in narrow.collect()}
+    assert a == b
+    # declared extra columns survive; unknown columns raise
+    kept = calibrate(
+        t, cfg, batch_score_fn=fake_scorer, batch_score_input="norm_text",
+        needed_cols=("role",),
+    )
+    assert "role" in kept.columns and "text" not in kept.columns
+    with pytest.raises(ValueError, match="needed_cols not in input"):
+        calibrate(
+            t, cfg, batch_score_fn=fake_scorer, batch_score_input="norm_text",
+            needed_cols=("no_such_col",),
+        )
+
+
 def test_sleep_ms_paces_kernel():
     """--sleep_ms parity knob (src/stream.py:268-270,373-374): the
     per-group kernel sleeps per event when configured."""
