@@ -97,10 +97,20 @@ HEADLINE = [
 MAIN_PROFILE = dict(
     conv_len=50, warmup=200, window=5000, drift_convs_mod=0, drift_from=0,
     hot_frac=0.10, n_hot_convs=4, write_sinks=False,
+    # One file = one task (see _write_input): open_cost_mb >=
+    # split_mb makes every row-uniform generated file its own scan
+    # split. Byte-balanced packing (the default) under-parallelizes
+    # here because compression ratios differ 3x between the hot
+    # conversation blobs (~30 B/row) and template files (~10 B/row),
+    # so equal-byte splits carry wildly unequal ROW counts — and task
+    # cost is per-row. split_mb stays above the largest file so no
+    # split ever bisects a file (the clustered-kernel contract).
+    split_mb=256, open_cost_mb=256,
 )
 ROUTED_PROFILE = dict(
     conv_len=4096, warmup=20, window=200, drift_convs_mod=4, drift_from=2048,
     hot_frac=0.0, n_hot_convs=1, write_sinks=True,
+    split_mb=256, open_cost_mb=256,  # one file = one task, as in MAIN
 )
 # 30% of all rows on ONE conv_id; the job under test is parse ->
 # salted two-phase per-conv aggregate. Two skew mechanisms are
@@ -164,13 +174,34 @@ def run_headline(sf_dir: str, cpus: int) -> tuple[dict, dict]:
 
 
 def _write_input(spark, rows: int, profile: dict, input_path: str) -> None:
-    """Clustered layout: hash-distributed by conv_id, sorted by
+    """Clustered layout: RANGE-distributed by conv_id, sorted by
     (conv_id, turn_idx) within files — the write-distribution a
     maintained Iceberg table would have. Files stay well under
-    maxPartitionBytes so read splits never bisect a file."""
+    maxPartitionBytes so read splits never bisect a file.
+
+    ROW-uniform files, range-placed over a HASHED key: the files are
+    the scheduling quanta (open_cost_mb makes one file = one task), so
+    they must be balanced in ROWS — task cost is per-row, and byte
+    balance lies when compression ratios differ (a hot 4M-row
+    conversation blob compresses at ~30 B/row vs ~10 B/row for
+    template files, measured at 160M rows). ~2.5M rows per file keeps
+    the widest bench level (8 slots) at >= 8 whole waves from 64
+    files. Hashed-range placement because the alternatives both
+    failed measurement: plain hash collided 2-3 hot conversations
+    into single 89-126 MB files (birthday chance), and plain range on
+    conv_id re-clustered them (synth assigns hot ids adjacently);
+    ranging on xxhash64(conv_id) spreads them uniformly while the
+    row-sampled boundaries give every hot conversation its own file.
+    Each conversation stays contiguous in exactly one file — the
+    clustered-kernel contract — and split_mb sits far above the
+    largest file so a split never bisects one. Same discipline a
+    100 TB table needs: work-uniform data files as the unit of both
+    clustering and scheduling."""
+    from pyspark.sql import functions as F
+
     from log_project_spark import synth
 
-    n_files = max(64, rows // 300_000)
+    n_files = max(64, -(-(rows // 2_500_000) // 16) * 16)
     writer = (
         synth.transcripts(
             spark, rows, n_convs=max(rows // profile["conv_len"], 1), anom_ratio=0.03,
@@ -179,8 +210,10 @@ def _write_input(spark, rows: int, profile: dict, input_path: str) -> None:
             drift_convs_mod=profile["drift_convs_mod"],
             drift_from=profile["drift_from"],
         )
-        .repartition(n_files, "conv_id")
+        .withColumn("__place", F.xxhash64("conv_id"))
+        .repartitionByRange(n_files, "__place")
         .sortWithinPartitions("conv_id", "turn_idx")
+        .drop("__place")
         .write.mode("overwrite")
     )
     if profile.get("row_group_mb"):
@@ -281,6 +314,13 @@ def pipeline_server(cpus: int, rows: int, input_path: str, profile: dict) -> Non
         # scan-side skew relief: cap split size so a hot clustered
         # FILE fans out across map tasks (see SKEW_PROFILE comment)
         conf["spark.sql.files.maxPartitionBytes"] = f"{int(profile['split_mb'])}m"
+    if profile.get("open_cost_mb"):
+        # one file = one task (MAIN/ROUTED): with openCostInBytes >=
+        # maxPartitionBytes the packer closes every split after a
+        # single file, so the generated row-uniform files are the
+        # scheduling quanta; Spark builds file partitions largest-
+        # first, so the heavy hot-conversation blobs launch in wave 1
+        conf["spark.sql.files.openCostInBytes"] = f"{int(profile['open_cost_mb'])}m"
     spark = get_spark(
         app_name=f"bench_pipeline_{cpus}",
         master=f"local[{cpus}]",
