@@ -132,6 +132,27 @@ def q_conformal_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "thr", "is_anom")
 
 
+def q_conformal_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same kernel as conformal_per_user but with needed_cols=() —
+    declarative projection pushdown through the mapInArrow boundary
+    (operators/calibrate.py). Results are identical (same oracle SQL);
+    the PLAN differs: the events scan ReadSchema shrinks to the 4
+    consumed columns (event_type/props never leave the files) and the
+    exchange + Arrow socket carry 4 columns instead of 6. Catalyst
+    cannot prune through a Python map node, so the operator declares
+    the projection — the 100 TB difference between scanning 4 and 6
+    columns of every row (plan-pinned in PLANS.md)."""
+    ev = _t(spark, sf_dir, "events")
+    cfg = PipelineConfig(
+        alpha=0.05, window=100, warmup=10, drift_detector="none", calibration="conformal"
+    )
+    out = calibrate(
+        ev, cfg, score_col="value", order_cols=("ts", "event_id"),
+        group_keys=["user_id"], needed_cols=("event_id",),
+    )
+    return out.select("user_id", "event_id", "thr", "is_anom")
+
+
 def q_fixed_thr_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 per-user two-pass frozen threshold + flag counts."""
     ev = _t(spark, sf_dir, "events")
@@ -1496,6 +1517,7 @@ _EXTRA_QUERIES = {
     "transformer_calibrate": q_transformer_calibrate,
     "jaccard_pairs_capped": q_jaccard_pairs_capped,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+    "conformal_pruned": q_conformal_pruned,
 }
 
 _DUCK_WORD_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
@@ -1786,6 +1808,9 @@ _GATE_ORDER = [
     "ngram_jaccard_pairs",  # <-> jaccard_pairs_capped (same kernel, cap ON)
     # r5f: rotated out for pack_sequences (new family). In-window sibling:
     "tumbling_event_counts",  # <-> sessionize_events (same module, single-shuffle window plans)
+    # r5g: projection-pushdown sibling of conformal_per_user (same
+    # results, same oracle; the variant pins the pruned PLAN)
+    "conformal_pruned",
 ]
 
 
@@ -1976,6 +2001,10 @@ def oracle_sql() -> dict[str, str]:
     out["semdedup_embeddings"] = _semdedup_sql()
     out["dsir_select"] = _dsir_sql()
     out["pack_sequences"] = _pack_sql()
+    # identical results to conformal_per_user by construction — the
+    # variant changes only the physical plan (projection pushdown
+    # through the UDF boundary), which the same oracle re-witnesses
+    out["conformal_pruned"] = out["conformal_per_user"]
     return out
 
 

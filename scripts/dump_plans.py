@@ -45,6 +45,15 @@ AUDITS = [
         [],
     ),
     (
+        "conformal_pruned",
+        "needed_cols projection pushdown: Catalyst can't prune through "
+        "MapInArrow, so the operator declares the projection — the "
+        "events scan ReadSchema and the exchange carry ONLY the 4 "
+        "consumed columns (event_type/props never leave the files)",
+        ["MapInArrow", "Exchange hashpartitioning"],
+        ["event_type", "props"],
+    ),
+    (
         "filter_combo",
         "predicates pushed to the parquet scan",
         ["PushedFilters: ["],

@@ -78,6 +78,31 @@ def test_kernel_single_shuffle(spark):
     assert "Sort [conv_id" in plan and "], false, 0" in plan
 
 
+def test_needed_cols_prunes_scan_and_exchange(spark, tmp_path):
+    """needed_cols projection pushdown reaches the SCAN: Catalyst
+    cannot prune columns through MapInArrow, so without the
+    declaration the parquet ReadSchema carries every column; with it,
+    unused columns (text, ts, label...) never leave the files and
+    never enter the exchange."""
+    from log_project_spark.config import PipelineConfig
+    from log_project_spark.operators.calibrate import calibrate
+
+    path = str(tmp_path / "t")
+    synth.transcripts(spark, 500, n_convs=10).write.parquet(path)
+    t = spark.read.parquet(path).withColumn(
+        "score", F.length("text").cast("double")
+    )
+    cfg = PipelineConfig(scope="conv_id", drift_detector="none")
+    full_plan = _plan(calibrate(t, cfg))
+    pruned_plan = _plan(calibrate(t, cfg, needed_cols=()))
+    # the full-width plan ships every column; the pruned one must not
+    # read or shuffle the dead payload columns
+    assert "label" in full_plan
+    assert "label" not in pruned_plan and "tool" not in pruned_plan
+    # ... and still keeps the single-exchange kernel shape
+    assert pruned_plan.count("Exchange hashpartitioning") == 1
+
+
 def test_scored_route_counts_reuse_one_scan(spark):
     """sink_counts groups directly on the routing expression — no join
     back, no extra scan of the input."""
