@@ -48,8 +48,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive input spread (guide §2.5, 'input skew: one huge
+    unsplittable file'). The gate/bench tables are single-file parquet
+    with a SINGLE row group, so the scan is one task no matter how many
+    cores the session has — every downstream narrow transformation
+    (regex masking, HOF hashing, scoring UDFs) then runs single-
+    threaded. Round-robin repartition to defaultParallelism moves only
+    the raw rows once (tiny vs the per-row compute it unlocks) and the
+    CPU-heavy work fans out across the cluster. No-op when the scan
+    already has enough splits — a real multi-file table at scale keeps
+    its layout and pays nothing. Row-preserving, so query results are
+    unchanged."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — defensive only
+        return df
+    if n * 2 >= par:
+        return df
+    return df.repartition(par)
+
+
 def _parsed_docs(spark: SparkSession, sf_dir: str, pandas_variant: bool = False) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     fn = parse_ops.with_tokens_pandas if pandas_variant else parse_ops.with_tokens
     return fn(docs, text_col="text", drop_empty=True).withColumn(
         "norm_text", F.concat_ws(" ", "tokens")
@@ -73,7 +96,7 @@ def q_parse_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_parse_mask_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").withColumn(
+    ev = _spread(_t(spark, sf_dir, "events")).withColumn(
         "text", F.concat_ws(" ", "event_type", "props", F.col("user_id").cast("string"))
     )
     out = parse_ops.with_tokens(ev, drop_empty=True)
@@ -90,7 +113,14 @@ def q_flagship_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = _parsed_docs(spark, sf_dir)
     scored = scoring.with_len_score(parsed, text_col="norm_text")
     cfg = PipelineConfig(calibration="no_calib", warmup=200, alpha=0.01, drift_detector="none")
-    calibrated = calibrate(scored, cfg, group_keys=[], order_cols=("doc_id",))
+    # needed_cols=(): downstream consumes only (is_anom, is_drift) via
+    # with_sink, so the single-partition gather + Arrow socket carry
+    # (doc_id, score) instead of the full parsed row (text + tokens +
+    # norm_text) — same rows out, ~20x fewer bytes through the
+    # inherently sequential global-scope kernel (guide §2.3/§4.1).
+    calibrated = calibrate(
+        scored, cfg, group_keys=[], order_cols=("doc_id",), needed_cols=()
+    )
     return (
         route_ops.with_sink(calibrated)
         .groupBy("sink")
@@ -128,7 +158,13 @@ def q_conformal_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = PipelineConfig(
         alpha=0.05, window=100, warmup=10, drift_detector="none", calibration="conformal"
     )
-    out = calibrate(ev, cfg, score_col="value", order_cols=("ts", "event_id"), group_keys=["user_id"])
+    # needed_cols: the select below consumes 4 columns, so event_type/
+    # props need not ride the exchange and the Arrow socket (the same
+    # declarative pushdown conformal_pruned pins; results identical).
+    out = calibrate(
+        ev, cfg, score_col="value", order_cols=("ts", "event_id"),
+        group_keys=["user_id"], needed_cols=("event_id",),
+    )
     return out.select("user_id", "event_id", "thr", "is_anom")
 
 
@@ -157,7 +193,13 @@ def q_fixed_thr_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 per-user two-pass frozen threshold + flag counts."""
     ev = _t(spark, sf_dir, "events")
     cfg = PipelineConfig(alpha=0.02, warmup=40, calibration="no_calib", drift_detector="none")
-    out = calibrate(ev, cfg, score_col="value", order_cols=("ts", "event_id"), group_keys=["user_id"])
+    # needed_cols=(): the aggregate below reads only (user_id, thr,
+    # is_anom) — drop the 3 passthrough columns from the exchange +
+    # Arrow socket (guide §2.3 'project before the exchange').
+    out = calibrate(
+        ev, cfg, score_col="value", order_cols=("ts", "event_id"),
+        group_keys=["user_id"], needed_cols=(),
+    )
     return out.groupBy("user_id").agg(
         F.min("thr").alias("thr"),
         F.sum(F.col("is_anom").cast("long")).alias("n_flagged"),
@@ -262,7 +304,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapse-then-single-char-split: no HOF filter lambda in the plan
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.withColumn("toks", parse_ops.word_tokens_col(F.col("text")))
 
 
@@ -270,7 +312,15 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash over 3-token shingles: 4 hashes via lexicographic min of
     salted md5 hex (a valid min-hash family, identical in both
     engines)."""
-    toked = _doc_word_tokens(spark, sf_dir).where(F.size("toks") >= 3)
+    # >=3 words <=> the raw text contains (non-ws run, ws run) x2 +
+    # non-ws — same proof shape as parse.has_token_col: word_tokens_col
+    # only collapses Java-\s whitespace, so token count == count of
+    # \S+ runs. The cheap probe pushes to the scan; the split itself
+    # is evaluated once, above the spread exchange, not in a pushed
+    # filter copy at raw-scan parallelism (guide §2.3/§4.4).
+    toked = _doc_word_tokens(spark, sf_dir).where(
+        F.col("text").rlike(r"\S+\s+\S+\s+\S")
+    )
     sh = toked.withColumn(
         "shingles",
         F.expr("transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"),
@@ -334,7 +384,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = sum(x * x for x in qvec) ** 0.5
     cos = dot / (nrm * F.lit(qn))
     return (
-        emb.where(F.col("vec_id") != 0)
+        _spread(emb).where(F.col("vec_id") != 0)
         .select("vec_id", cos.alias("cos_raw"))
         .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
         .limit(10)

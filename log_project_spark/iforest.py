@@ -64,30 +64,34 @@ class HashedTfidf:
         """Vectorized bucket-count: gather (row, bucket) index pairs in
         one Python pass, then a single np.add.at scatter — the
         per-token `X[r, b] += 1` loop was 2.1 s of a 4.7 s fit at 540k
-        tokens. Tokens are deduplicated with np.unique first so crc32 +
-        cache lookups run once per DISTINCT token, not per occurrence
-        (template corpora repeat tokens heavily; measured 0.4 s of a
-        0.54 s cold fit at 250k tokens was cold-cache hashing). The
-        (row, col) pair SEQUENCE is unchanged, and np.add.at applies
-        unbuffered in sequence order, so counts stay bit-identical to
-        the per-token loop."""
+        tokens. Tokens are deduplicated so crc32 + cache lookups run
+        once per DISTINCT token, not per occurrence (template corpora
+        repeat tokens heavily). Dedup uses pandas.factorize — a hash
+        table, O(n), no sort — instead of np.unique, whose argsort over
+        millions of OBJECT-dtype strings was 10+ s of the 50k-text fit
+        (r6 driver-fit profile: 16 s in _counts, ~11 s of it that
+        argsort). factorize yields the same bucket per token and the
+        same (row, col) pair SEQUENCE, and np.add.at applies unbuffered
+        in sequence order, so counts stay bit-identical to the
+        per-token loop."""
+        import pandas as pd
+
         n = len(texts)
         X = np.zeros((n, self.n_features), dtype=np.float32)
         bucket = self._bucket
-        rows: list[np.ndarray] = []
+        lengths = np.zeros(n, dtype=np.int64)
         all_toks: list[str] = []
         for r, text in enumerate(texts):
             toks = text.split()
-            if not toks:
-                continue
-            rows.append(np.full(len(toks), r, dtype=np.int64))
+            lengths[r] = len(toks)
             all_toks.extend(toks)
-        if rows:
-            uniq, inv = np.unique(np.asarray(all_toks, dtype=object), return_inverse=True)
+        if all_toks:
+            codes, uniq = pd.factorize(np.asarray(all_toks, dtype=object), sort=False)
             buckets = np.fromiter(
                 (bucket(t) for t in uniq), dtype=np.int64, count=len(uniq)
             )
-            np.add.at(X, (np.concatenate(rows), buckets[inv]), 1.0)
+            rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            np.add.at(X, (rows, buckets[codes]), 1.0)
         return X
 
     def fit(self, texts: list[str], doc_weights: np.ndarray | None = None) -> "HashedTfidf":

@@ -76,6 +76,30 @@ def tokens_col(text: Column) -> Column:
     )
 
 
+def has_token_col(text: Column) -> Column:
+    """Cheap predicate equivalent to `size(tokens_col(text)) > 0`.
+
+    Proof of equivalence: tokens are the single-space split of
+    btrim(collapse(mask(lower(text)))). Lowercasing maps no character
+    into or out of whitespace; each mask replaces non-whitespace spans
+    with non-empty non-whitespace literals ('<hex>', '<ip>', '<num>');
+    so the masked text contains a non-whitespace char iff the raw text
+    does. The collapse/btrim/split then yields >= 1 token iff a
+    non-whitespace char survives. Hence: any Java-`\\S` match on the
+    RAW text <=> non-empty token array. NULL propagates to NULL on
+    both forms (row dropped either way).
+
+    Why it matters (guide §2.3/§4.4): filtering on size(tokens) makes
+    Catalyst substitute the full 4-pass regex chain into the Filter —
+    the chain then runs TWICE per surviving row (filter copy +
+    projection copy) and the filter copy is pushed below any
+    repartition, pinning the expensive work at raw-scan parallelism.
+    This predicate costs one trivial regex probe, pushes to the scan,
+    and leaves the mask chain evaluated exactly once, above any
+    spread exchange."""
+    return text.rlike(r"\S")
+
+
 def with_tokens(
     df: DataFrame,
     text_col: str = "text",
@@ -86,7 +110,7 @@ def with_tokens(
     (the reference skips them: src/log_tokenize.py:28-29)."""
     out = df.withColumn(out_col, tokens_col(F.col(text_col)))
     if drop_empty:
-        out = out.where(F.size(F.col(out_col)) > 0)
+        out = out.where(has_token_col(F.col(text_col)))
     return out
 
 

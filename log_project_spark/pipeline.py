@@ -66,13 +66,16 @@ def _pgroup_cpu_seconds() -> float | None:
 
 def parse_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Tokens + normalized scoring text (SURVEY.md P1-P6). The
-    empty-line drop predicates on norm_text (equivalent to
-    size(tokens) > 0) so a plan that prunes `tokens` — e.g. the fused
-    baseline path — never pays for the array at all."""
+    empty-line drop predicates on the RAW text via has_token_col
+    (provably equivalent to norm_text != "" / size(tokens) > 0, see
+    parse.has_token_col): filtering on the derived column made
+    Catalyst substitute the whole mask-regex chain into the Filter,
+    evaluating it twice per surviving row; the raw-text probe pushes
+    to the scan and the chain runs once, only where consumed."""
     out = df.withColumn("tokens", parse_ops.tokens_col(F.col(text_col))).withColumn(
         "norm_text", parse_ops.norm_text_col(F.col(text_col))
     )
-    return out.where(F.col("norm_text") != "")
+    return out.where(parse_ops.has_token_col(F.col(text_col)))
 
 
 def score_stage(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
