@@ -167,6 +167,30 @@ def cmd_phases(sf_dir: str) -> None:
     spark.stop()
 
 
+def cmd_allq(sf_dir: str, passes: int) -> None:
+    """Time EVERY declared query (gate pool), not just the headline
+    subset — best-of-K fn()+count() walls."""
+    import __spark_entry__ as entry_mod
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = _spark(cpus)
+    queries = entry_mod.queries()
+    _warm(spark, sf_dir)
+    out = {}
+    for name, fn in queries.items():
+        walls = []
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.count()
+            walls.append(round(time.perf_counter() - t0, 4))
+        out[name] = min(walls)
+        print(f"[allq] {name}: {walls}", file=sys.stderr)
+    print(json.dumps({"sf_dir": sf_dir, "total_min": round(sum(out.values()), 3),
+                      "queries": out}))
+    spark.stop()
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "headline"
     sf_env = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -179,6 +203,10 @@ def main() -> None:
         sf_dir = sys.argv[3] if len(sys.argv) > 3 else sf_env
         suffix = sys.argv[4] if len(sys.argv) > 4 else "before"
         cmd_plans(out_dir, sf_dir, suffix)
+    elif cmd == "allq":
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else sf_env
+        passes = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+        cmd_allq(sf_dir, passes)
     elif cmd == "phases":
         sf_dir = sys.argv[2] if len(sys.argv) > 2 else sf_env
         cmd_phases(sf_dir)

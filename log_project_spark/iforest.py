@@ -32,6 +32,17 @@ import numpy as np
 _EULER = 0.5772156649015329
 
 
+def _row_norms(X: np.ndarray) -> np.ndarray:
+    """Row-wise L2 norms, bit-identical to
+    np.linalg.norm(X, axis=1, keepdims=True) for real input, minus one
+    full-matrix copy: linalg.norm computes
+    sqrt(add.reduce((x.conj()*x).real, axis)) and np.conjugate
+    materializes a copy even for real dtypes; x*x is the same IEEE
+    multiply, and the same add.reduce performs the same pairwise
+    summation, so every float matches."""
+    return np.sqrt(np.add.reduce(X * X, axis=1, keepdims=True))
+
+
 def _avg_path_length(n: np.ndarray | float) -> np.ndarray | float:
     """c(n): expected path length of unsuccessful BST search (iForest
     paper eq. 1); c(n<=1) = 0, c(2) = 1."""
@@ -104,13 +115,16 @@ class HashedTfidf:
         """fit + transform computing the counts matrix ONCE (fit ->
         transform re-tokenizes the same texts; on the driver-side model
         fit that was a second full _counts pass). Bit-identical to
-        fit(texts, w) followed by transform(texts)."""
+        fit(texts, w) followed by transform(texts): X is scaled
+        IN PLACE (X is dead after _fit_from_counts, saving a 200 MB
+        allocation at 50k x 1024) and the row norms use _row_norms,
+        elementwise-identical to np.linalg.norm (see there)."""
         X = self._counts(texts)
         self._fit_from_counts(X, len(texts), doc_weights)
-        Xw = X * self.idf_[None, :]
-        norms = np.linalg.norm(Xw, axis=1, keepdims=True)
+        X *= self.idf_[None, :]
+        norms = _row_norms(X)
         norms[norms == 0.0] = 1.0
-        return Xw / norms
+        return X / norms
 
     def _fit_from_counts(
         self, X: np.ndarray, n_texts: int, doc_weights: np.ndarray | None
@@ -132,7 +146,9 @@ class HashedTfidf:
                 and bool(np.all(w64 >= 0))
                 and bool(np.all(w64 == np.rint(w64)))
             ):
-                present = (X > 0).astype(np.float32)
+                # np.sign == (X > 0).astype(float32) for count matrices
+                # (entries >= 0), skipping the bool intermediate pass
+                present = np.sign(X)
                 df = (present.T @ w64.astype(np.float32)).astype(np.float64)
             else:
                 df = (X > 0).astype(np.float64).T @ w64
@@ -145,8 +161,9 @@ class HashedTfidf:
     def transform(self, texts: list[str]) -> np.ndarray:
         if self.idf_ is None:
             raise RuntimeError("HashedTfidf must be fit before transform")
-        X = self._counts(texts) * self.idf_[None, :]
-        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        X = self._counts(texts)
+        X *= self.idf_[None, :]
+        norms = _row_norms(X)
         norms[norms == 0.0] = 1.0
         return X / norms
 

@@ -85,3 +85,60 @@ def test_plan_is_native(spark, tricky_df):
     whole-stage codegen)."""
     plan = parse.with_tokens(tricky_df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+ADVERSARIAL = TRICKY + [
+    None,
+    "0xFF",
+    " ",             # unicode NBSP: not Java whitespace on either side
+    "a b",
+    "\t\n\r \x0b\x0c",    # every Java \s char
+    "x",
+    " x ",
+    "1.2.3.4",
+    "0x",
+    ".",
+    "a b",
+    "a  b   c",
+    "  leading",
+    "trailing  ",
+]
+
+
+def test_drop_empty_predicate_equivalence(spark):
+    """r6 optimization: with_tokens(drop_empty=True) filters on the
+    cheap raw-text predicate has_token_col instead of size(tokens)>0
+    (which made Catalyst inline the whole mask-regex chain into the
+    Filter). The two must keep exactly the same rows on adversarial
+    inputs, including NULLs and unicode whitespace."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ADVERSARIAL)], "id int, text string"
+    )
+    cheap = sorted(
+        r["id"] for r in parse.with_tokens(df, drop_empty=True).select("id").collect()
+    )
+    strict = sorted(
+        r["id"]
+        for r in parse.with_tokens(df, drop_empty=False)
+        .where(F.size("tokens") > 0)
+        .select("id")
+        .collect()
+    )
+    assert cheap == strict
+
+
+def test_min_words_predicate_equivalence(spark):
+    """The minhash >=3-words prefilter as a raw-text regex probe must
+    keep exactly the rows where size(word_tokens) >= 3."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ADVERSARIAL)], "id int, text string"
+    )
+    toked = df.withColumn("toks", parse.word_tokens_col(F.col("text")))
+    cheap = sorted(
+        r["id"]
+        for r in toked.where(F.col("text").rlike(r"\S+\s+\S+\s+\S")).select("id").collect()
+    )
+    strict = sorted(
+        r["id"] for r in toked.where(F.size("toks") >= 3).select("id").collect()
+    )
+    assert cheap == strict

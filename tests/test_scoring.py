@@ -161,3 +161,51 @@ def test_integrated_transformer_calibrate_matches_oracle(spark):
         assert r["is_drift"] == want.is_drift[i], i
         assert r["is_anom"] == want.is_anom[i], i
         assert r["thr"] == pytest.approx(want.thresholds[i], abs=1e-6), i
+
+
+def test_tfidf_counts_factorize_matches_unique_path():
+    """r6 optimization: _counts dedupes tokens with pd.factorize
+    instead of np.unique (object argsort dominated the driver fit).
+    Must stay bit-identical to the reference accumulation."""
+    import numpy as np
+
+    from log_project_spark.iforest import HashedTfidf
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(400)] + ["<num>", "<hex>", "<ip>", ""]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+        for _ in range(800)
+    ] + ["", "   ", "solo"]
+    h_new = HashedTfidf(256, 7)
+    got = h_new._counts(texts)
+
+    # reference accumulation: per-token scatter in sequence order
+    h_ref = HashedTfidf(256, 7)
+    want = np.zeros((len(texts), 256), dtype=np.float32)
+    for r, t in enumerate(texts):
+        for tok in t.split():
+            want[r, h_ref._bucket(tok)] += 1.0
+    assert np.array_equal(got, want)
+
+
+def test_row_norms_bit_identical_to_linalg():
+    import numpy as np
+
+    from log_project_spark.iforest import _row_norms
+
+    rng = np.random.default_rng(5)
+    for dtype in (np.float32, np.float64):
+        X = rng.standard_normal((257, 129)).astype(dtype)
+        X[3] = 0.0
+        assert np.array_equal(_row_norms(X), np.linalg.norm(X, axis=1, keepdims=True))
+
+
+def test_spread_preserves_rows(spark):
+    """__spark_entry__._spread must be row-preserving and a no-op
+    decision that never changes query results."""
+    import __spark_entry__ as entry
+
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    out = entry._spread(df)
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000))
