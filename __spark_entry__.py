@@ -424,7 +424,7 @@ def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r1 #5)."""
     from log_project_spark.operators.text_analysis import stopword_count
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     norm = parse_ops.ws_collapsed_col(F.col("text"))
     n_tok = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
     ratio = stopword_count(norm, _STOPWORDS) / n_tok
@@ -1296,7 +1296,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision)."""
     from log_project_spark.operators import text_analysis
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return text_analysis.repetition_stats(docs, n=2)
 
 
@@ -1306,7 +1306,7 @@ def q_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     12.5% of documents), via the broadcast-semi-join gram path."""
     from log_project_spark.operators import decontam, sampling
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
+    docs = _spread(_t(spark, sf_dir, "documents")).withColumn(
         "toks", parse_ops.word_tokens_col(F.col("text"))
     )
     train, bench = sampling.hash_split(docs, 0.875, "doc_id", seed=7)
@@ -1349,7 +1349,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_low=True) for the per-language perplexity bucket gate."""
     from log_project_spark.operators import lm_score
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     lm = lm_score.fit_bigram_lm(docs, "text", vocab_size=256, id_col="doc_id")
     return lm_score.score_bigram_lm(docs, lm, "text", id_col="doc_id", k=0.5)
 
@@ -1374,7 +1374,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle verifies weights, keys, and the cut."""
     from log_project_spark.operators import dsir
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     target = docs.where(F.col("lang") == "en")
     return dsir.dsir_select(docs, target, k=50, buckets=4096)
 
@@ -1438,7 +1438,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_project_spark.operators import packing
     from log_project_spark.operators.parse import word_tokens_col
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     ntok = docs.select(
         "doc_id", F.size(word_tokens_col(F.col("text"))).alias("n_tok")
     )

@@ -176,8 +176,12 @@ def cmd_allq(sf_dir: str, passes: int) -> None:
     spark = _spark(cpus)
     queries = entry_mod.queries()
     _warm(spark, sf_dir)
+    skip = set(filter(None, os.environ.get("ALLQ_SKIP", "").split(",")))
+    only = set(filter(None, os.environ.get("ALLQ_ONLY", "").split(",")))
     out = {}
     for name, fn in queries.items():
+        if name in skip or (only and name not in only):
+            continue
         walls = []
         for _ in range(passes):
             t0 = time.perf_counter()
