@@ -213,7 +213,14 @@ def percentile_rank_filter(
     if not 0.0 <= q <= 100.0:
         raise ValueError(f"q must be in [0, 100], got {q}")
     w = Window.partitionBy(*group_cols)
-    rn = F.row_number().over(w.orderBy(F.col(score_col).asc(), F.col(tiebreak_col).asc()))
+    # NULLS LAST pinned explicitly (ADVICE r5): Spark's bare .asc() is
+    # NULLS FIRST while the DuckDB oracle's ORDER BY defaults to NULLS
+    # LAST — a NULL score would rank (and be kept/dropped) differently
+    # per engine. No NULLs exist in the gated data, so this pin changes
+    # nothing today; it makes the cross-engine contract explicit.
+    rn = F.row_number().over(
+        w.orderBy(F.col(score_col).asc_nulls_last(), F.col(tiebreak_col).asc())
+    )
     n = F.count(F.lit(1)).over(w)
     k = F.floor(F.lit(q / 100.0) * (n - F.lit(1)).cast("double")).cast("long")
     ranked = df.withColumn("__rn__", rn.cast("long")).withColumn("__k__", k)

@@ -41,7 +41,8 @@ Scale design (100 TB raw corpus):
   sampling.percentile prefilters.
 
 Reference parity note: the reference has no data-selection surface
-(cf. /root/reference/src/features.py); this operator extends the
+(verified by reading every module under /root/reference/src/ --
+only calibration/log_tokenize/stream/transformer exist); this operator extends the
 LLM-training-data toolkit beside lm_score (quality), sampling
 (budgets/mixing), and semdedup/dedup (duplication).
 """

@@ -41,9 +41,10 @@ Scale design (100 TB fit corpus):
   (`False`) when the model itself is huge; final per-doc aggregation
   is one exchange on the id.
 
-Reference parity note: the reference has no LM scorer (its quality
-signals are the heuristic ones in text_analysis.py, cf.
-/root/reference/src/features.py); this operator is part of the
+Reference parity note: the reference has no LM scorer (verified by
+reading every module under /root/reference/src/ -- only
+calibration/log_tokenize/stream/transformer exist); this repo's own
+heuristic quality signals live in text_analysis.py. This operator is part of the
 LLM-training-data extension surface, same as dedup/decontam.
 """
 

@@ -41,7 +41,8 @@ Scale design (100 TB corpus):
   operator's scope.
 
 Reference parity note: no packing surface exists in the reference
-(cf. /root/reference/src/features.py); extension operator beside
+(verified by reading every module under /root/reference/src/ --
+only calibration/log_tokenize/stream/transformer exist); extension operator beside
 sampling.token_budget_cap (which picks WHAT to train on; packing
 decides WHERE each kept token lands)."""
 

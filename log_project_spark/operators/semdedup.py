@@ -49,7 +49,8 @@ Scale design (100 TB embedding table):
   engine; the guard raise makes the condition visible.
 
 Reference parity note: the reference has no embedding/dedup surface
-(cf. /root/reference/src/features.py); this module is part of the
+(verified by reading every module under /root/reference/src/ --
+only calibration/log_tokenize/stream/transformer exist); this module is part of the
 LLM-training-data extension, beside dedup.embedding_near_dups (which
 finds PAIRS; semdedup makes the keep/drop DECISION with the paper's
 centroid-distance keep rule and needs no pair-graph post-processing).

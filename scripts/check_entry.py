@@ -66,6 +66,8 @@ def main() -> int:
     json_path = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args) or args[i + 1].startswith("-"):
+            sys.exit("usage: check_entry.py [--json PATH] [QUERY ...]")
         json_path = args[i + 1]
         args = args[:i] + args[i + 2:]
     queries = entry_mod.queries()
