@@ -189,6 +189,40 @@ def test_tfidf_counts_factorize_matches_unique_path():
     assert np.array_equal(got, want)
 
 
+def test_fit_df_exact_across_formulations():
+    """Exactness pin for the guarded integer-weight branch of
+    _fit_from_counts: under the guard (non-negative integer weights,
+    sum < 2^24) the float32 presence-sgemv document frequencies are
+    EXACT integers, so idf_ must match bincount-over-nonzero-pairs and
+    the float64 mask matmul bit-for-bit. (r6 note: the bincount
+    formulation was prototyped as a replacement and measured 3.4x
+    SLOWER at fit density — np.nonzero + fancy indexing on the dense
+    matrix costs more than one memory-bound sgemv — so the sgemv stays;
+    this test keeps all three formulations provably interchangeable.)"""
+    import numpy as np
+
+    from log_project_spark.iforest import HashedTfidf
+
+    rng = np.random.default_rng(23)
+    n, b = 500, 256
+    X = np.zeros((n, b), dtype=np.float32)
+    nz = rng.random((n, b)) < 0.05
+    X[nz] = rng.integers(1, 9, size=int(nz.sum())).astype(np.float32)
+    X[17] = 0.0  # empty doc
+    w = rng.integers(0, 50_000, size=n).astype(np.float64)
+
+    got = HashedTfidf(b, 7)._fit_from_counts(X.copy(), n, w).idf_
+
+    nz_d, nz_b = np.nonzero(X)
+    df_bc = np.bincount(nz_b, weights=w[nz_d], minlength=b)
+    n_docs = float(w.sum())
+    idf_bc = (np.log((1.0 + n_docs) / (1.0 + df_bc)) + 1.0).astype(np.float32)
+    assert np.array_equal(got, idf_bc)
+
+    df_f64 = (X > 0).astype(np.float64).T @ w
+    assert np.array_equal(df_bc, df_f64)
+
+
 def test_row_norms_bit_identical_to_linalg():
     import numpy as np
 
